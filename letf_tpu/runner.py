@@ -1,0 +1,107 @@
+"""Orchestrator: the full analysis pipeline (reference letf/__init__.py:19-202).
+
+Filled out incrementally; see run() docstring for the stage list.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def _fmt_elapsed(seconds: float) -> str:
+    if seconds < 60:
+        return f"{seconds:.1f}s"
+    m, s = divmod(seconds, 60)
+    return f"{int(m)}m {s:.1f}s"
+
+
+def run() -> None:
+    """Golden tax gate -> data -> calibration -> validation -> Monte Carlo per
+    horizon -> summary statistics -> historical comparison."""
+    from letf_tpu import config as cfg
+    from letf_tpu.tax.engine import run_golden_tests
+
+    run_start = time.time()
+    step_times = []
+
+    def _step(label: str) -> None:
+        now = time.time()
+        if step_times:
+            prev_label, prev_start = step_times[-1]
+            print(f"  [{_fmt_elapsed(now - prev_start)}] {prev_label}")
+        step_times.append((label, now))
+
+    cfg.init_cache()
+    cfg.print_banner()
+
+    _step("Tax engine validation")
+    run_golden_tests(trace_failures=True)
+
+    from letf_tpu.ui import get_start_date_interactive, validate_time_horizons_for_start_date
+    from letf_tpu.data import fetch_historical_data
+    from letf_tpu.calibration import calibrate_all
+    from letf_tpu.validation import run_validation_tests
+    from letf_tpu.parallel.mc_runner import parallel_monte_carlo_fixed
+    from letf_tpu.reporting import create_summary_statistics, get_tax_config_interactive
+    from letf_tpu.historical import (
+        compare_simulated_vs_historical,
+        compare_simulated_vs_synthetic_historical,
+    )
+
+    _step("Date selection")
+    selected_start, selected_end = get_start_date_interactive()
+    print(f"\n  Using date range: {selected_start} to {selected_end}")
+
+    _step("Fetch historical data")
+    df = fetch_historical_data()
+    print(f"  Data loaded: {len(df):,} days ({len(df) / 252:.2f} years)")
+
+    _step("Tax configuration")
+    tax_config = get_tax_config_interactive()
+
+    _step("Calibration (all models)")
+    regime_model, correlation_matrices = calibrate_all(df)
+
+    _step("Validation tests")
+    run_validation_tests(df=df, regime_model=regime_model)
+
+    requested_horizons = [10, 20, 30]
+    time_horizons = validate_time_horizons_for_start_date(
+        cfg.ANALYSIS_START_DATE, requested_horizons)
+    if not time_horizons:
+        print("\nERROR: Not enough data for any requested time horizon!")
+        return
+
+    for horizon in time_horizons:
+        print(f"\n{'=' * 80}")
+        print(f"MONTE CARLO SIMULATION: {horizon}-YEAR HORIZON")
+        print(f"{'=' * 80}")
+
+        _step(f"MC simulation {horizon}Y")
+        mc_results = parallel_monte_carlo_fixed(
+            strategy_ids=list(cfg.STRATEGIES.keys()),
+            time_horizon=horizon,
+            regime_model=regime_model,
+            correlation_matrices=correlation_matrices,
+            historical_df=df,
+        )
+
+        _step(f"Summary stats {horizon}Y")
+        create_summary_statistics(mc_results, horizon, tax_config=tax_config)
+
+        _step(f"Historical comparison {horizon}Y")
+        compare_simulated_vs_historical(df, mc_results, horizon)
+        compare_simulated_vs_synthetic_historical(df, mc_results, horizon)
+
+    _step("done")
+    total = time.time() - run_start
+    print("\n" + "=" * 80)
+    print("TIMING SUMMARY")
+    print("=" * 80)
+    for i in range(len(step_times) - 1):
+        label, start = step_times[i]
+        _, end = step_times[i + 1]
+        pct = (end - start) / total * 100 if total > 0 else 0
+        print(f"  {label:<40s} {_fmt_elapsed(end - start):>8s}  ({pct:5.1f}%)")
+    print(f"  {'TOTAL':<40s} {_fmt_elapsed(total):>8s}")
+    print("\nANALYSIS COMPLETE")

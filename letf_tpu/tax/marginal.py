@@ -1,0 +1,219 @@
+"""Progressive marginal tax math with stacked LTCG treatment.
+
+Behavioral parity with the reference (letf/tax/marginal.py:9-281):
+- ``calculate_marginal_tax``: progressive brackets after a standard deduction
+- ``calculate_ltcg_tax_stacked``: LTCG stacked on top of ordinary income and
+  taxed progressively through the LTCG brackets (the correct IRS method, not
+  a flat rate on total income)
+- ``calculate_comprehensive_tax_v6``: federal ordinary + ST-as-ordinary +
+  stacked LTCG + state (incl. WA cap-gains-only) + NIIT, with an optional
+  bracket inflation multiplier for future years.
+
+The core ``piecewise_tax`` helper is written array-style so the identical
+math powers the vectorized device tax path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from letf_tpu.tax.brackets import (
+    FEDERAL_TAX_BRACKETS_2024,
+    LTCG_BRACKETS_2024,
+    NIIT_RATE,
+    NIIT_THRESHOLD_2024,
+    STANDARD_DEDUCTION_2024,
+    STATE_TAX_BRACKETS,
+)
+
+
+def piecewise_tax(taxable, limits, rates, xp=np):
+    """Total tax on ``taxable`` income under (limits, rates) brackets.
+
+    Segment-sum formulation: tax = sum_k rate_k * clip(taxable, lo_k, hi_k)
+    where lo_k is the previous bracket limit. Shapes broadcast: ``taxable``
+    may be any array; limits/rates are 1-D of length K.
+    """
+    taxable = xp.maximum(taxable, 0.0)
+    lo = xp.concatenate([xp.zeros(1, dtype=limits.dtype), limits[:-1]])
+    # amount in each bracket: clip(taxable - lo, 0, hi - lo)
+    t = xp.expand_dims(taxable, -1) if hasattr(taxable, "shape") and getattr(taxable, "ndim", 0) > 0 else taxable
+    amt = xp.clip(t - lo, 0.0, limits - lo)
+    # inf - finite = inf; clip handles top bracket (hi=inf) because
+    # t - lo is finite. Replace nan from inf-inf padding just in case.
+    amt = xp.where(xp.isnan(amt), 0.0, amt)
+    return xp.sum(amt * rates, axis=-1)
+
+
+def _tax_from_table(taxable: float, brackets: List[Tuple[float, float]]) -> float:
+    tax = 0.0
+    prev = 0.0
+    for limit, rate in brackets:
+        if taxable <= prev:
+            break
+        amount = min(taxable, limit) - prev
+        tax += amount * rate
+        prev = limit
+        if taxable <= limit:
+            break
+    return tax
+
+
+def calculate_marginal_tax(income: float, brackets: List[Tuple[float, float]],
+                           standard_deduction: float = 0.0) -> float:
+    """Progressive tax on ``income`` after ``standard_deduction``."""
+    if income <= 0:
+        return 0.0
+    taxable = max(0.0, income - standard_deduction)
+    return _tax_from_table(taxable, brackets)
+
+
+def calculate_ltcg_tax_stacked(
+    ltcg_amount: float,
+    ordinary_income_after_deduction: float,
+    ltcg_brackets: List[Tuple[float, float]],
+) -> Tuple[float, Dict]:
+    """Stacked LTCG tax: gains fill brackets starting where ordinary income
+    left off. tax(LTCG) = T(base + ltcg) - T(base) under the LTCG table."""
+    if ltcg_amount <= 0:
+        return 0.0, {"breakdown": [], "total": 0.0}
+
+    base = max(0.0, ordinary_income_after_deduction)
+    total_tax = 0.0
+    breakdown = []
+    remaining = ltcg_amount
+    position = base
+
+    for i, (ceiling, rate) in enumerate(ltcg_brackets):
+        if remaining <= 0:
+            break
+        if position >= ceiling:
+            continue
+        in_bracket = min(remaining, ceiling - position)
+        tax_in = in_bracket * rate
+        breakdown.append({
+            "bracket_num": i + 1,
+            "bracket_ceiling": ceiling,
+            "rate": rate,
+            "rate_pct": f"{rate * 100:.0f}%",
+            "ltcg_in_bracket": in_bracket,
+            "tax_in_bracket": tax_in,
+            "income_range": (position, position + in_bracket),
+        })
+        total_tax += tax_in
+        remaining -= in_bracket
+        position += in_bracket
+
+    return total_tax, {
+        "breakdown": breakdown,
+        "total": total_tax,
+        "ordinary_income_base": base,
+        "ltcg_amount": ltcg_amount,
+        "effective_ltcg_rate": total_tax / ltcg_amount if ltcg_amount > 0 else 0.0,
+    }
+
+
+def _inflate(brackets, m):
+    return [(lim * m, rate) for lim, rate in brackets]
+
+
+def calculate_comprehensive_tax_v6(
+    taxable_st: float,
+    taxable_lt: float,
+    capital_loss_deduction: float,
+    ordinary_income: float = 0.0,
+    include_state: bool = True,
+    include_niit: bool = True,
+    filing_status: str = "single",
+    bracket_multiplier: float = 1.0,
+    state_code: str = "CA",
+) -> Dict:
+    """Comprehensive tax: federal (ordinary + ST stacked + LTCG stacked),
+    state, and NIIT. Mirrors reference semantics exactly
+    (letf/tax/marginal.py:135-281)."""
+    ordinary_brackets = FEDERAL_TAX_BRACKETS_2024.get(
+        filing_status, FEDERAL_TAX_BRACKETS_2024["single"])
+    std_deduction = STANDARD_DEDUCTION_2024.get(
+        filing_status, STANDARD_DEDUCTION_2024["single"])
+    ltcg_brackets = LTCG_BRACKETS_2024.get(filing_status, LTCG_BRACKETS_2024["single"])
+    state_data = STATE_TAX_BRACKETS.get(state_code, STATE_TAX_BRACKETS["CA"])
+    state_brackets = state_data.get(filing_status, state_data["single"])
+    state_std_ded = state_data["std_deduction"].get(
+        filing_status, state_data["std_deduction"]["single"])
+    niit_threshold = NIIT_THRESHOLD_2024.get(filing_status, NIIT_THRESHOLD_2024["single"])
+
+    if bracket_multiplier != 1.0:
+        ordinary_brackets = _inflate(ordinary_brackets, bracket_multiplier)
+        ltcg_brackets = _inflate(ltcg_brackets, bracket_multiplier)
+        std_deduction *= bracket_multiplier
+        niit_threshold *= bracket_multiplier
+        state_brackets = _inflate(state_brackets, bracket_multiplier)
+        state_std_ded *= bracket_multiplier
+
+    # Capital-loss deduction reduces ordinary income.
+    adjusted_ordinary = max(0.0, ordinary_income - capital_loss_deduction)
+
+    federal_ordinary = calculate_marginal_tax(adjusted_ordinary, ordinary_brackets,
+                                              std_deduction)
+
+    # ST gains stack on top of ordinary income at ordinary rates.
+    total_ordinary_income = adjusted_ordinary + taxable_st
+    federal_with_st = calculate_marginal_tax(total_ordinary_income, ordinary_brackets,
+                                             std_deduction)
+    federal_st_tax = federal_with_st - federal_ordinary
+
+    total_income = total_ordinary_income + taxable_lt
+
+    ordinary_base_for_ltcg = max(0.0, total_ordinary_income - std_deduction)
+    federal_ltcg_tax = 0.0
+    ltcg_breakdown = None
+    if taxable_lt > 0:
+        federal_ltcg_tax, ltcg_breakdown = calculate_ltcg_tax_stacked(
+            taxable_lt, ordinary_base_for_ltcg, ltcg_brackets)
+
+    federal_total = federal_ordinary + federal_st_tax + federal_ltcg_tax
+
+    state_tax = 0.0
+    if include_state:
+        if state_data.get("cap_gains_only", False):
+            cap_gains = taxable_st + taxable_lt
+            state_tax = calculate_marginal_tax(cap_gains, state_brackets, state_std_ded)
+        else:
+            state_tax = calculate_marginal_tax(total_income, state_brackets, state_std_ded)
+
+    niit_tax = 0.0
+    if include_niit and total_income > niit_threshold:
+        investment_income = taxable_st + taxable_lt
+        niit_base = min(investment_income, total_income - niit_threshold)
+        niit_tax = niit_base * NIIT_RATE
+
+    total_tax = federal_total + state_tax + niit_tax
+    return {
+        "federal_ordinary": federal_ordinary,
+        "federal_st": federal_st_tax,
+        "federal_ltcg": federal_ltcg_tax,
+        "federal_total": federal_total,
+        "state_tax": state_tax,
+        "niit_tax": niit_tax,
+        "total_tax": total_tax,
+        "effective_rate": total_tax / total_income if total_income > 0 else 0.0,
+        "marginal_rate_used": True,
+        "ltcg_breakdown": ltcg_breakdown,
+        "ltcg_stacking_used": True,
+    }
+
+
+def test_ltcg_stacking() -> bool:
+    """Self-check: stacked LTCG vs manual computation (reference
+    marginal.py:284-375 semantics, condensed)."""
+    ordinary_income = 40000
+    ltcg = 50000
+    std_deduction = 14600
+    ordinary_after = max(0, ordinary_income - std_deduction)  # 25,400
+    ltcg_brackets = [(47025, 0.00), (518900, 0.15), (float("inf"), 0.20)]
+    tax, _ = calculate_ltcg_tax_stacked(ltcg, ordinary_after, ltcg_brackets)
+    expected_0 = 47025 - ordinary_after
+    expected = (ltcg - expected_0) * 0.15
+    return abs(tax - expected) < 0.01
