@@ -18,4 +18,15 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# The environment force-registers the axon TPU plugin (JAX_PLATFORMS=axon is
+# re-applied after our env var), so pin the platform via config — the env var
+# alone is NOT sufficient here. Everything below must run on host CPU: the
+# virtual 8-device mesh and exact-f64 parity both require it.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: amortize scan compiles across test runs.
+_CACHE_DIR = "/tmp/letf_tpu_jax_cache"
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
