@@ -1,0 +1,120 @@
+"""Rolling-window statistics with pandas-equivalent semantics, on device.
+
+The reference strategies consume pandas ``rolling`` aggregates
+(letf/strategy.py throughout): mean/std(ddof=1)/skew/sum over 5-200 day
+windows, with ``min_periods`` warmup NaNs and ``.shift(1)`` lags. Here each
+window aggregate is computed from causal windowed raw-moment sums via
+``lax.reduce_window`` — O(T·w) on the VPU with exact summation (no cumsum
+cancellation), batched over the trial axis.
+
+All functions operate on the LAST axis (time); inputs [..., T].
+NaN is used for warmup exactly like pandas; strategy code masks with
+``jnp.isnan`` where the reference uses ``pd.isna``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _causal_window_sum(x: jax.Array, window: int) -> jax.Array:
+    """Sum over the trailing window [t-w+1, t] along the last axis."""
+    ndim = x.ndim
+    dims = (1,) * (ndim - 1) + (window,)
+    strides = (1,) * ndim
+    pad = [(0, 0)] * (ndim - 1) + [(window - 1, 0)]
+    return lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
+                             dims, strides, pad)
+
+
+def _counts(T: int, window: int, dtype) -> jax.Array:
+    t = jnp.arange(T)
+    return jnp.minimum(t + 1, window).astype(dtype)
+
+
+def rolling_sum(x: jax.Array, window: int, min_periods: int = 1) -> jax.Array:
+    s = _causal_window_sum(x, window)
+    n = _counts(x.shape[-1], window, x.dtype)
+    return jnp.where(n >= min_periods, s, jnp.nan)
+
+
+def rolling_mean(x: jax.Array, window: int, min_periods: int | None = None) -> jax.Array:
+    if min_periods is None:
+        min_periods = window
+    s = _causal_window_sum(x, window)
+    n = _counts(x.shape[-1], window, x.dtype)
+    return jnp.where(n >= min_periods, s / n, jnp.nan)
+
+
+def rolling_std(x: jax.Array, window: int, min_periods: int | None = None) -> jax.Array:
+    """Sample std (ddof=1), NaN where count < max(min_periods, 2)."""
+    if min_periods is None:
+        min_periods = window
+    s1 = _causal_window_sum(x, window)
+    s2 = _causal_window_sum(x * x, window)
+    n = _counts(x.shape[-1], window, x.dtype)
+    mean = s1 / n
+    var = jnp.maximum(s2 - n * mean * mean, 0.0) / jnp.maximum(n - 1, 1)
+    ok = (n >= min_periods) & (n >= 2)
+    return jnp.where(ok, jnp.sqrt(var), jnp.nan)
+
+
+def rolling_skew(x: jax.Array, window: int, min_periods: int | None = None) -> jax.Array:
+    """Adjusted Fisher-Pearson skew (pandas formula):
+    g = n/((n-1)(n-2)) * sum((x-mean)^3) / s^3,  NaN for n < 3."""
+    if min_periods is None:
+        min_periods = window
+    s1 = _causal_window_sum(x, window)
+    s2 = _causal_window_sum(x * x, window)
+    s3 = _causal_window_sum(x * x * x, window)
+    n = _counts(x.shape[-1], window, x.dtype)
+    mean = s1 / n
+    m2 = jnp.maximum(s2 - n * mean ** 2, 0.0)
+    m3 = s3 - 3.0 * mean * s2 + 2.0 * n * mean ** 3
+    var = m2 / jnp.maximum(n - 1, 1)
+    s = jnp.sqrt(var)
+    denom = jnp.maximum(n - 1, 1) * jnp.maximum(n - 2, 1) * s ** 3
+    g = n * m3 / jnp.where(denom > 0, denom, jnp.nan)
+    ok = (n >= min_periods) & (n >= 3) & (s > 0)
+    return jnp.where(ok, g, jnp.nan)
+
+
+def shift1(x: jax.Array) -> jax.Array:
+    """pandas .shift(1) along the last axis (NaN at t=0)."""
+    pad = jnp.full(x.shape[:-1] + (1,), jnp.nan, x.dtype)
+    return jnp.concatenate([pad, x[..., :-1]], axis=-1)
+
+
+def pct_change(x: jax.Array, periods: int) -> jax.Array:
+    """pandas .pct_change(periods) along the last axis."""
+    prev = jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (periods,), jnp.nan, x.dtype),
+         x[..., :-periods]], axis=-1)
+    return x / prev - 1.0
+
+
+def rsi(price: jax.Array, period: int = 14) -> jax.Array:
+    """Simple-moving-average RSI on price diffs (strategy.py:321-325).
+
+    pandas quirk preserved: ``delta.where(delta > 0, 0)`` converts the t=0
+    NaN diff to 0, so the gain/loss series are NaN-free and the first valid
+    RSI lands at t = period - 1 (window covering days 0..period-1)."""
+    delta = jnp.diff(price, axis=-1,
+                     prepend=jnp.take(price, jnp.array([0]), axis=-1))
+    gain = rolling_mean(jnp.where(delta > 0, delta, 0.0), period)
+    loss = rolling_mean(jnp.where(delta < 0, -delta, 0.0), period)
+    rs = gain / loss
+    return 100.0 - 100.0 / (1.0 + rs)
+
+
+def cummax(x: jax.Array, axis: int = -1) -> jax.Array:
+    return lax.cummax(x, axis=axis if axis >= 0 else x.ndim + axis)
+
+
+def max_drawdown(equity: jax.Array, axis: int = -1) -> jax.Array:
+    """max peak-to-trough drawdown of an equity curve (positive fraction)."""
+    running = cummax(equity, axis)
+    dd = (equity - running) / jnp.where(running > 0, running, 1.0)
+    return jnp.abs(jnp.min(dd, axis=axis))
