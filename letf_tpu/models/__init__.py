@@ -11,5 +11,6 @@
 
 from letf_tpu.models.params import (
     SimModel,
+    build_sim_model,
     default_sim_model,
 )

@@ -243,6 +243,134 @@ def default_asset_params() -> AssetParams:
         fallback_spread=table.borrow_spread)
 
 
+def build_sim_model(regime_model: Optional[Dict] = None) -> SimModel:
+    """Densify a calibration output dict (same keys the reference threads
+    through ``regime_model``: regime_params, transition_matrix,
+    duration_samples, vix_dynamics, joint_return_model, funding_model,
+    stress_state_model, tracking_residual_model) into a SimModel pytree.
+    Missing pieces fall back to the reference-default parameterization."""
+    if regime_model is None:
+        return default_sim_model()
+
+    m = default_sim_model()
+
+    # ---- regime block ----
+    tm = regime_model.get("transition_matrix", None)
+    rp = regime_model.get("regime_params", None)
+    ds = regime_model.get("duration_samples", None)
+    if tm is not None:
+        tm = np.asarray(tm, np.float64)
+        tm = np.nan_to_num(tm, nan=0.0, posinf=0.0, neginf=0.0)
+        tm[tm < 0] = 0.0
+        for i in range(tm.shape[0]):
+            rs = tm[i].sum()
+            if rs <= 0:
+                tm[i, i] = 1.0
+            else:
+                tm[i] = tm[i] / rs
+    else:
+        tm = m.regime.transition
+    dwell_values, dwell_cdf, has_dwell = build_dwell_tables(ds)
+    daily_std = m.regime.daily_std.copy()
+    daily_mean = m.regime.daily_mean.copy()
+    if rp is not None:
+        for r in range(R):
+            p = rp.get(r, {})
+            daily_std[r] = p.get("daily_std", daily_std[r])
+            daily_mean[r] = p.get("daily_mean", daily_mean[r])
+    regime = RegimeParams(
+        transition=tm, dwell_values=dwell_values, dwell_cdf=dwell_cdf,
+        has_dwell=has_dwell, p_stay=np.clip(np.diag(tm), 0.80, 0.995),
+        daily_std=daily_std, daily_mean=daily_mean,
+        start_probs=m.regime.start_probs)
+
+    # ---- joint return model ----
+    jm = regime_model.get("joint_return_model", None)
+    if jm is not None:
+        regs = jm["regimes"]
+        joint = derive_joint_params(
+            mu=np.stack([np.asarray(regs[r]["mu"]) for r in range(R)]),
+            cov=np.stack([np.asarray(regs[r]["cov"]) for r in range(R)]),
+            nu=[float(regs[r]["nu"]) for r in range(R)],
+            alpha=[float(regs[r].get("garch_alpha", 0.06)) for r in range(R)],
+            beta=[float(regs[r].get("garch_beta", 0.90)) for r in range(R)],
+            dcc_a=[float(regs[r].get("dcc_a", 0.02)) for r in range(R)],
+            dcc_b=[float(regs[r].get("dcc_b", 0.95)) for r in range(R)])
+    else:
+        joint = m.joint
+
+    # ---- VIX dynamics ----
+    vd = regime_model.get("vix_dynamics", None)
+    if vd:
+        vix = VixParams(
+            phi=np.array([vd.get(r, {}).get("phi", 0.88) for r in range(R)]),
+            noise_std=np.array([vd.get(r, {}).get("noise_std", 1.2)
+                                for r in range(R)]),
+            jump_threshold=np.array([vd.get(r, {}).get("jump_threshold_sigma", 2.0)
+                                     for r in range(R)]),
+            jump_scale=np.array([vd.get(r, {}).get("jump_scale", 8.0)
+                                 for r in range(R)]),
+            target=np.array([vd.get(r, {}).get("target_vix",
+                                               15.0 if r == 0 else 35.0)
+                             for r in range(R)]),
+            base=np.array([15.0, 35.0]))
+    else:
+        vix = m.vix
+
+    # ---- stress ----
+    sm = regime_model.get("stress_state_model", None)
+    if sm:
+        sr = sm["regimes"]
+
+        def g(key, default):
+            return np.array([sr.get(r, {}).get(key, default) for r in range(R)])
+        stress = StressParams(
+            liq_mu=g("liq_mu", 0.1), liq_phi=g("liq_phi", 0.9),
+            liq_sigma=g("liq_sigma", 0.08),
+            credit_mu=g("credit_mu", 0.05), credit_phi=g("credit_phi", 0.88),
+            credit_sigma=g("credit_sigma", 0.07),
+            jump_base_prob=g("jump_base_prob", 0.001),
+            jump_scale=g("jump_scale", 0.005))
+    else:
+        stress = m.stress
+
+    # ---- funding ----
+    fm = regime_model.get("funding_model", None)
+    if fm:
+        funding = FundingParams(
+            base=np.float64(fm["base"]), beta_vix=np.float64(fm["beta_vix"]),
+            beta_inv_curve=np.float64(fm["beta_inv_curve"]),
+            beta_liquidity=np.float64(fm.get("beta_liquidity", 0.0012)),
+            beta_credit=np.float64(fm.get("beta_credit", 0.0018)),
+            min_spread=np.float64(fm["min_spread"]),
+            max_spread=np.float64(fm["max_spread"]))
+    else:
+        funding = m.funding
+
+    # ---- tracking residuals (per-asset overrides; config-level te base) ----
+    trm = regime_model.get("tracking_residual_model", None)
+    tracking = m.tracking
+    if trm:
+        rho = tracking.rho.copy()
+        downside = tracking.downside_mult.copy()
+        clip_limit = tracking.clip_limit.copy()
+        for name, p in trm.items():
+            if name in cfg.ASSET_INDEX:
+                i = cfg.ASSET_INDEX[name]
+                rho[i] = p.get("rho", rho[i])
+                # Execution-noise cap (engine.py:392-396): downside <= 1.10.
+                downside[i] = min(p.get("downside_mult", downside[i]), 1.10)
+                clip_limit[i] = p.get("clip_limit", clip_limit[i])
+        tracking = TrackingParams(
+            rho=rho, downside_mult=downside, clip_limit=clip_limit,
+            te_scale=tracking.te_scale, te_df=tracking.te_df)
+
+    return SimModel(
+        regime=regime, joint=joint, vix=vix, irx_base=m.irx_base,
+        stress=stress, funding=funding, tracking=tracking,
+        assets=m.assets, cash_rate=m.cash_rate)
+
+
 def default_sim_model() -> SimModel:
     return SimModel(
         regime=default_regime_params(),

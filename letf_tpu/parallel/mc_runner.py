@@ -1,0 +1,317 @@
+"""Sharded Monte Carlo driver.
+
+Replaces the reference's joblib/ProcessPoolExecutor fan-out
+(mc_runner.py:24-210): trials are vmapped on-chip in chunks whose trial
+axis is sharded over the device mesh; each chunk runs path generation +
+signals + all 19 strategies inside ONE jit, and only summary tensors
+(final wealth, trade counts, max drawdown, metadata scalars) come back to
+the host. Antithetic pairing follows the reference scheme — pairs (0,1),
+(2,3), ... share a base trial id; the odd member negates the joint normals
+(mc_runner.py:145-153).
+
+Two interfaces:
+- ``run_monte_carlo``             -> dense MCArrays (any scale; 1M+ trials)
+- ``parallel_monte_carlo_fixed``  -> reference-format {sid: [result dicts]}
+                                     incl. Trade_List for taxable strategies
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from letf_tpu import config as cfg
+from letf_tpu.models.params import SimModel, build_sim_model
+from letf_tpu.ops.path_engine import generate_path
+from letf_tpu.parallel.mesh import pad_to_multiple, trial_mesh, trial_sharding
+from letf_tpu.strategies.engine import run_strategies_batch
+from letf_tpu.strategies.host import trades_from_emission
+from letf_tpu.strategies.signals import compute_signals
+
+
+@dataclasses.dataclass
+class MCArrays:
+    """Summary tensors for N trials (host numpy)."""
+    final_wealth: np.ndarray    # [N, 19]
+    num_trades: np.ndarray      # [N, 19]
+    max_dd: np.ndarray          # [N, 19]
+    valid: np.ndarray           # [N] bool
+    start_offset: np.ndarray    # [N]
+    start_regime: np.ndarray    # [N]
+    jump_days: np.ndarray       # [N]
+    liq_mean: np.ndarray        # [N]
+    credit_mean: np.ndarray     # [N]
+    regime_high_days: np.ndarray  # [N] days spent in regime 1
+    sim_days: int
+    trial_ids: np.ndarray       # [N]
+    antithetic: np.ndarray      # [N]
+
+
+def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
+                   sim_days: int, buffer_days: int,
+                   random_start_method: str = "offset",
+                   apply_costs: bool = True, emit_trades: bool = False,
+                   moment_matching: bool = True):
+    """One fused chunk: paths -> signals -> strategies -> summaries."""
+    fn = functools.partial(
+        generate_path, sim_days=sim_days, buffer_days=buffer_days,
+        random_start_method=random_start_method,
+        moment_matching=moment_matching)
+    path = jax.vmap(lambda t, a: fn(model, run_key, t, a))(trial_ids, antithetic)
+    sig = compute_signals(path)
+    res = run_strategies_batch(path, sig, apply_costs=apply_costs,
+                               emit_trades=emit_trades)
+    regime_high = jnp.sum(path.regime == 1, axis=1).astype(jnp.int32)
+    summaries = dict(
+        final_wealth=res.final_wealth, num_trades=res.num_trades,
+        max_dd=res.max_dd, valid=path.valid,
+        start_offset=path.start_offset, start_regime=path.start_regime,
+        jump_days=path.jump_days, liq_mean=path.liq_mean,
+        credit_mean=path.credit_mean, regime_high_days=regime_high)
+    emission = ((res.tj_alloc, res.tj_value, res.tj_price, res.tj_asset)
+                if emit_trades else None)
+    return summaries, emission
+
+
+_mc_chunk = jax.jit(
+    _mc_chunk_body,
+    static_argnames=("sim_days", "buffer_days", "random_start_method",
+                     "apply_costs", "emit_trades", "moment_matching"))
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_chunk(mesh, sim_days: int, buffer_days: int,
+                   random_start_method: str, apply_costs: bool,
+                   moment_matching: bool):
+    """SPMD chunk over the trial mesh: each device runs the full engine on
+    its local slice of trials; model and key are replicated; only summary
+    tensors cross devices (at the final host gather)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(model, run_key, trial_ids, antithetic):
+        summaries, _ = _mc_chunk_body(
+            model, run_key, trial_ids, antithetic, sim_days, buffer_days,
+            random_start_method=random_start_method, apply_costs=apply_costs,
+            emit_trades=False, moment_matching=moment_matching)
+        return summaries
+
+    # check_vma=False: scan carries start replicated (e.g. start_regime=0)
+    # and become trial-varying inside; the strict varying-axis checker would
+    # demand explicit pcasts at every such seam.
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(), P("trials"), P("trials")),
+                      out_specs=P("trials"), check_vma=False)
+    return jax.jit(f)
+
+
+def _trial_layout(num_simulations: int, use_antithetic: bool):
+    """Reference pairing: even trials draw, odd trials negate, both share a
+    base id; the list is trimmed to the requested count."""
+    if use_antithetic:
+        n = num_simulations + (num_simulations % 2)
+        ids = np.arange(n) // 2
+        anti = (np.arange(n) % 2).astype(bool)
+        return ids[:num_simulations], anti[:num_simulations]
+    return np.arange(num_simulations), np.zeros(num_simulations, bool)
+
+
+def run_monte_carlo(
+    model: SimModel | Dict | None,
+    time_horizon: int,
+    num_simulations: Optional[int] = None,
+    seed: int = 0,
+    chunk_size: Optional[int] = None,
+    mesh=None,
+    use_antithetic: Optional[bool] = None,
+    random_start_method: Optional[str] = None,
+    apply_costs: bool = True,
+    progress: bool = True,
+) -> MCArrays:
+    """Run N trials of `time_horizon` years through the full engine.
+
+    Chunked over trials to bound HBM; each chunk's trial axis is sharded
+    over the mesh. Returns host-side summary arrays.
+    """
+    if not isinstance(model, SimModel):
+        model = build_sim_model(model)
+    if num_simulations is None:
+        num_simulations = cfg.NUM_SIMULATIONS
+    if use_antithetic is None:
+        use_antithetic = cfg.USE_ANTITHETIC_VARIATES
+    if random_start_method is None:
+        random_start_method = (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
+                               else "none")
+    sim_days = int(time_horizon * cfg.TRADING_DAYS)
+    buffer_days = (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
+                   if random_start_method == "offset" else 0)
+
+    mesh = mesh if mesh is not None else trial_mesh()
+    n_dev = mesh.devices.size
+    sharding = trial_sharding(mesh)
+
+    if chunk_size is None:
+        chunk_size = min(cfg.DEVICE_CHUNK_TRIALS,
+                         pad_to_multiple(num_simulations, n_dev))
+    chunk_size = pad_to_multiple(chunk_size, n_dev)
+
+    ids, anti = _trial_layout(num_simulations, use_antithetic)
+    key = jax.random.key(seed)
+
+    if n_dev > 1:
+        chunk_fn = _sharded_chunk(mesh, sim_days, buffer_days,
+                                  random_start_method, apply_costs, True)
+    else:
+        chunk_fn = None
+
+    outs: Dict[str, List[np.ndarray]] = {}
+    n_done = 0
+    while n_done < num_simulations:
+        n_here = min(chunk_size, num_simulations - n_done)
+        n_pad = pad_to_multiple(n_here, n_dev)
+        idx = np.arange(n_done, n_done + n_pad) % num_simulations
+        if chunk_fn is not None:
+            ids_c = jax.device_put(jnp.asarray(ids[idx], jnp.int32), sharding)
+            anti_c = jax.device_put(jnp.asarray(anti[idx]), sharding)
+            summaries = chunk_fn(model, key, ids_c, anti_c)
+        else:
+            ids_c = jnp.asarray(ids[idx], jnp.int32)
+            anti_c = jnp.asarray(anti[idx])
+            summaries, _ = _mc_chunk(
+                model, key, ids_c, anti_c, sim_days, buffer_days,
+                random_start_method=random_start_method,
+                apply_costs=apply_costs)
+        for k, v in summaries.items():
+            outs.setdefault(k, []).append(np.asarray(v)[:n_here])
+        n_done += n_here
+        if progress and num_simulations > chunk_size:
+            print(f"  MC progress: {n_done:,}/{num_simulations:,} trials")
+
+    cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+    return MCArrays(sim_days=sim_days, trial_ids=ids, antithetic=anti, **cat)
+
+
+def emit_trade_lists(model: SimModel | Dict, time_horizon: int,
+                     trial_indices: Sequence[int], seed: int = 0,
+                     use_antithetic: Optional[bool] = None,
+                     random_start_method: Optional[str] = None,
+                     num_simulations: Optional[int] = None,
+                     apply_costs: bool = True) -> Dict[int, Dict[str, List[Dict]]]:
+    """Re-run selected trials with journal emission and build reference-format
+    trade lists: {trial_index: {sid: [trade dicts]}}.
+
+    Deterministic replay: the same counter-based streams regenerate the
+    identical paths, so no state needs to be checkpointed (the TPU analogue
+    of the reference attaching Trade_List to every worker result)."""
+    if not isinstance(model, SimModel):
+        model = build_sim_model(model)
+    if num_simulations is None:
+        num_simulations = cfg.NUM_SIMULATIONS
+    if use_antithetic is None:
+        use_antithetic = cfg.USE_ANTITHETIC_VARIATES
+    if random_start_method is None:
+        random_start_method = (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
+                               else "none")
+    sim_days = int(time_horizon * cfg.TRADING_DAYS)
+    buffer_days = (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
+                   if random_start_method == "offset" else 0)
+    ids, anti = _trial_layout(num_simulations, use_antithetic)
+    key = jax.random.key(seed)
+
+    trial_indices = list(trial_indices)
+    ids_c = jnp.asarray(ids[trial_indices], jnp.int32)
+    anti_c = jnp.asarray(anti[trial_indices])
+    _, emission = _mc_chunk(model, key, ids_c, anti_c, sim_days, buffer_days,
+                            random_start_method=random_start_method,
+                            apply_costs=apply_costs, emit_trades=True)
+    tj_alloc, tj_value, tj_price, tj_asset = [np.asarray(e) for e in emission]
+
+    out: Dict[int, Dict[str, List[Dict]]] = {}
+    for row, trial in enumerate(trial_indices):
+        out[trial] = {
+            sid: trades_from_emission(tj_alloc, tj_value, tj_price, tj_asset,
+                                      row, col)
+            for col, sid in enumerate(cfg.TAXABLE_IDS)
+        }
+    return out
+
+
+def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
+                               correlation_matrices=None, historical_df=None,
+                               num_simulations: Optional[int] = None,
+                               seed: int = 0,
+                               trade_list_limit: int = 1024,
+                               include_regime_paths: bool = False) -> Dict[str, List[Dict]]:
+    """Reference-compatible entry point: {sid: [per-trial result dicts]}.
+
+    Matches the worker-result schema of simulate_single_path_fixed
+    (engine.py:592-604): Final_Wealth, Num_Trades, Trades_Per_Year, Max_DD,
+    Metadata, and Trade_List for taxable strategies (attached when
+    N <= trade_list_limit; at larger scale use run_monte_carlo +
+    letf_tpu.reporting's tensor path instead)."""
+    if num_simulations is None:
+        num_simulations = cfg.NUM_SIMULATIONS
+
+    print(f"\n{'=' * 80}")
+    print(f"MONTE CARLO: {num_simulations:,} sims x {time_horizon}Y "
+          f"({len(jax.devices())} device(s), fused scan engine)")
+    print(f"{'=' * 80}")
+    if cfg.USE_ANTITHETIC_VARIATES:
+        print("  Antithetic variates ENABLED (pairs (0,1), (2,3), ...)")
+    if cfg.USE_RANDOM_START:
+        print(f"  Randomized start: {cfg.RANDOM_START_METHOD} "
+              f"(buffer {cfg.RANDOM_START_BUFFER_YEARS}y)")
+    print(f"  Engine mode: {cfg.SIM_ENGINE_MODE}")
+
+    model = build_sim_model(regime_model if isinstance(regime_model, dict)
+                            else None) if not isinstance(regime_model, SimModel) \
+        else regime_model
+    arrays = run_monte_carlo(model, time_horizon,
+                             num_simulations=num_simulations, seed=seed)
+
+    want_trades = (num_simulations <= trade_list_limit
+                   and any(s in cfg.TAXABLE_IDS for s in strategy_ids))
+    trade_lists: Dict[int, Dict[str, List[Dict]]] = {}
+    if want_trades:
+        trade_lists = emit_trade_lists(
+            model, time_horizon, range(num_simulations), seed=seed,
+            num_simulations=num_simulations)
+
+    results: Dict[str, List[Dict]] = {sid: [] for sid in strategy_ids}
+    years = float(time_horizon)
+    for i in range(num_simulations):
+        high = int(arrays.regime_high_days[i])
+        meta = {
+            "model_version": cfg.SIM_ENGINE_MODE,
+            "sim_id": int(arrays.trial_ids[i]),
+            "antithetic": bool(arrays.antithetic[i]),
+            "regime_counts": {0: arrays.sim_days - high, 1: high},
+            "start_method": (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
+                             else "default"),
+            "start_offset": int(arrays.start_offset[i]),
+            "layer_checks": {"is_valid": bool(arrays.valid[i])},
+            "stress_summary": {
+                "liq_mean": float(arrays.liq_mean[i]),
+                "credit_mean": float(arrays.credit_mean[i]),
+                "jump_days": int(arrays.jump_days[i]),
+            },
+        }
+        for sid in strategy_ids:
+            k = cfg.STRATEGY_INDEX[sid]
+            result = {
+                "Final_Wealth": float(arrays.final_wealth[i, k]),
+                "Num_Trades": int(arrays.num_trades[i, k]),
+                "Trades_Per_Year": float(arrays.num_trades[i, k]) / years,
+                "Max_DD": float(arrays.max_dd[i, k]),
+                "Metadata": meta,
+            }
+            if include_regime_paths:
+                result["Regime_High_Days"] = high
+            if sid in cfg.TAXABLE_IDS and i in trade_lists:
+                result["Trade_List"] = trade_lists[i][sid]
+            results[sid].append(result)
+    return results

@@ -1,0 +1,354 @@
+"""Reporting: percentile fans, tax-adjusted tables, scenario explanations.
+
+Parity surface (letf/reporting.py:36-634):
+- get_tax_config_interactive: menu with non-interactive env/tty fallback
+- estimate_tax_simple: coarse bracket estimate
+- explain_percentile: scenario narratives per percentile
+- create_summary_statistics: Roth table (pre-tax) + taxable table with the
+  reference's tax amortization — exact tax for <= MAX_TAX_SIMS trials
+  sampled evenly across the sorted wealth distribution, np.interp for the
+  rest (reporting.py:455-509) — win rates vs (post-tax) SPY, and a top-5
+  percentile detail block.
+
+On-device reductions (letf_tpu.ops.reductions) do the heavy math when the
+caller passes dense MCArrays instead of reference-format dict lists.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from letf_tpu import config as cfg
+from letf_tpu.integration import process_trades_with_wired_engine
+from letf_tpu.tax.engine import TaxpayerElections
+
+STATE_TAX_INFO = {
+    "CA": {"name": "California", "rate": 0.093},
+    "NY": {"name": "New York", "rate": 0.065},
+    "TX": {"name": "Texas", "rate": 0.0},
+    "FL": {"name": "Florida", "rate": 0.0},
+    "WA": {"name": "Washington", "rate": 0.07},
+    "NV": {"name": "Nevada", "rate": 0.0},
+    "IL": {"name": "Illinois", "rate": 0.0495},
+    "MA": {"name": "Massachusetts", "rate": 0.05},
+    "NJ": {"name": "New Jersey", "rate": 0.0637},
+}
+
+MAX_TAX_SIMS = 50
+_PCTS = [("p10", 10), ("p25", 25), ("p40", 40), ("p60", 60),
+         ("p75", 75), ("p90", 90)]
+
+DEFAULT_TAX_CONFIG = {
+    "state": "CA", "state_name": "California",
+    "ordinary_income": 150000, "filing_status": "single",
+    "career_stage": "mid", "years_until_retirement": None,
+    "retirement_income": None,
+}
+
+
+def _non_interactive() -> bool:
+    return (not sys.stdin.isatty() or bool(os.getenv("LETF_NON_INTERACTIVE"))
+            or bool(os.getenv("LETF_NONINTERACTIVE")))
+
+
+def get_tax_config_interactive() -> Dict:
+    """Tax configuration menu; defaults when stdin is not a terminal."""
+    if _non_interactive():
+        print("\n  [Non-interactive] Tax config: CA, $150k, Single, Mid-career")
+        return dict(DEFAULT_TAX_CONFIG)
+
+    print("\nSelect state (1=CA 2=NY 3=TX 4=FL 5=WA 6=NV 7=IL 8=MA 9=NJ):")
+    state_map = {"1": "CA", "2": "NY", "3": "TX", "4": "FL", "5": "WA",
+                 "6": "NV", "7": "IL", "8": "MA", "9": "NJ"}
+    state = state_map.get(input("Enter (1-9) [1]: ").strip() or "1", "CA")
+    try:
+        income = int((input("Ordinary income [150000]: ").strip() or "150000")
+                     .replace(",", "").replace("$", ""))
+    except ValueError:
+        income = 150000
+    filing = "married" if (input("Filing (1=Single 2=Married) [1]: ").strip()
+                           == "2") else "single"
+    career = {"1": "early", "2": "mid", "3": "late"}.get(
+        input("Career stage (1=early 2=mid 3=late) [2]: ").strip() or "2", "mid")
+    retire_str = input("Years until retirement [skip]: ").strip()
+    years_until_retirement = int(retire_str) if retire_str.isdigit() else None
+    retirement_income = None
+    if years_until_retirement:
+        ri = input("Retirement income [50% of peak]: ").strip()
+        if ri:
+            try:
+                retirement_income = int(ri.replace(",", "").replace("$", ""))
+            except ValueError:
+                retirement_income = None
+    return {
+        "state": state, "state_name": STATE_TAX_INFO[state]["name"],
+        "ordinary_income": income, "filing_status": filing,
+        "career_stage": career,
+        "years_until_retirement": years_until_retirement,
+        "retirement_income": retirement_income,
+    }
+
+
+def estimate_tax_simple(gains: float, ordinary_income: float, state: str,
+                        filing_status: str) -> Dict:
+    """Coarse 50/50 ST-LT split tax estimate (reporting.py:160-197)."""
+    if gains <= 0:
+        return {"total_tax": 0, "effective_rate": 0}
+    st, lt = gains * 0.5, gains * 0.5
+    total_income = ordinary_income + gains
+    if filing_status == "single":
+        cuts = [(100525, 0.22, 0.0), (191950, 0.24, 0.15),
+                (518900, 0.32, 0.15), (float("inf"), 0.37, 0.20)]
+        niit_thresh = 200000
+    else:
+        cuts = [(201050, 0.22, 0.0), (383900, 0.24, 0.15),
+                (583750, 0.32, 0.15), (float("inf"), 0.37, 0.20)]
+        niit_thresh = 250000
+    for limit, st_rate, lt_rate in cuts:
+        if total_income < limit:
+            break
+    federal = st * st_rate + lt * lt_rate
+    state_tax = gains * STATE_TAX_INFO[state]["rate"]
+    niit = (min(gains, max(0, total_income - niit_thresh)) * 0.038
+            if total_income > niit_thresh else 0)
+    total = federal + state_tax + niit
+    return {"total_tax": total,
+            "effective_rate": total / gains * 100 if gains > 0 else 0}
+
+
+_SCENARIOS = {
+    10: ("WORST 10% (beaten in 90% of cases)",
+         "2-3 major crashes; VIX >30 for months; strategy whipsaws; "
+         "comparable to 2000-2010."),
+    25: ("BELOW AVERAGE (beaten in 75% of cases)",
+         "One major crash with a slow 3-5y recovery; comparable to 2007-2013."),
+    40: ("SLIGHTLY BELOW MEDIAN",
+         "A few 15-20% corrections, normal volatility; an average decade."),
+    60: ("SLIGHTLY ABOVE MEDIAN",
+         "Minor corrections only, low volatility; a good decade."),
+    75: ("ABOVE AVERAGE (needs luck)",
+         "Max ~10% pullbacks, VIX 12-15, mostly bull; comparable to 2012-2017."),
+    90: ("BEST 10% (DO NOT PLAN ON THIS)",
+         "No corrections, VIX 10-12 throughout; the best period on record."),
+}
+
+
+def explain_percentile(p: int, pre_cagr: float, horizon: int,
+                       spy_cagr: float = 0.0) -> str:
+    if p not in _SCENARIOS:
+        return ""
+    title, body = _SCENARIOS[p]
+    return (f"\nP{p} - {title}\n"
+            f"  Strategy pre-tax CAGR {pre_cagr:+.2f}% | SPY B&H at P{p}: "
+            f"{spy_cagr:+.2f}% | horizon {horizon}y\n  {body}\n")
+
+
+def _wealth(results: List[Dict]) -> np.ndarray:
+    return np.array([r["Final_Wealth"] for r in results])
+
+
+def _tax_all_trials(results: List[Dict], time_horizon: int, tax_config: Dict,
+                    sid: str) -> np.ndarray:
+    """Reference tax amortization: exact tax for <= MAX_TAX_SIMS trials
+    sampled evenly across sorted wealth, monotone-interpolated for the rest."""
+    wealth = _wealth(results)
+    n = len(results)
+    order = np.argsort(wealth)
+    if n <= MAX_TAX_SIMS:
+        sample = list(range(n))
+    else:
+        positions = np.linspace(0, n - 1, MAX_TAX_SIMS, dtype=int)
+        sample = [int(order[p]) for p in positions]
+
+    sw, stx = [], []
+    for idx in sample:
+        trades = results[idx].get("Trade_List", [])
+        if trades:
+            tax = process_trades_with_wired_engine(
+                trades=trades, time_horizon_years=time_horizon,
+                elections=TaxpayerElections(),
+                initial_capital=cfg.INITIAL_CAPITAL,
+                strategy_id=f"{sid}_bulk", tax_config=tax_config)["total_tax"]
+        else:
+            tax = 0.0
+        sw.append(wealth[idx])
+        stx.append(tax)
+
+    sw, stx = np.array(sw), np.array(stx)
+    o = np.argsort(sw)
+    if n <= MAX_TAX_SIMS:
+        all_tax = np.zeros(n)
+        for i, idx in enumerate(sample):
+            all_tax[idx] = stx[i]
+    else:
+        all_tax = np.interp(wealth, sw[o], stx[o])
+    return all_tax
+
+
+def create_summary_statistics(mc_results: Dict[str, List[Dict]],
+                              time_horizon: int,
+                              tax_config: Optional[Dict] = None) -> Dict:
+    """Percentile-fan report: Roth (pre-tax) + taxable (post-tax) tables.
+
+    Returns the computed summary data (a capability the reference lacks —
+    it only prints) so downstream code and tests can consume it.
+    """
+    if tax_config is None:
+        tax_config = dict(DEFAULT_TAX_CONFIG)
+
+    horizon = time_horizon
+    cap = cfg.INITIAL_CAPITAL
+    out: Dict[str, Dict] = {"roth": {}, "taxable": {}}
+
+    spy_results = mc_results.get("S2", [])
+    spy_wealth = _wealth(spy_results) if spy_results else np.array([])
+
+    # Market scenario banner keyed to SPY percentiles.
+    if len(spy_wealth):
+        print(f"\n{'=' * 100}")
+        print(f"MARKET SCENARIOS FOR THE {horizon}-YEAR HORIZON (SPY reference)")
+        print(f"{'=' * 100}")
+        for _, pv in _PCTS:
+            if pv == 50:
+                continue
+            w = np.percentile(spy_wealth, pv)
+            cagr = (w / cap) ** (1 / horizon) - 1
+            print(explain_percentile(pv, cagr * 100, horizon, cagr * 100),
+                  end="")
+
+    # ---------------- Roth table ----------------
+    print(f"\n{'=' * 110}")
+    print(f"ROTH IRA COMPATIBLE - {horizon}-YEAR HORIZON (pre-tax)")
+    print(f"{'=' * 110}")
+    header = (f"{'Rank':<5}{'ID':<5}{'Strategy':<20}{'Win%':>7}"
+              + "".join(f"{p:>9}" for p, _ in _PCTS[:3])
+              + f"{'Median$':>10}{'CAGR':>8}"
+              + "".join(f"{p:>9}" for p, _ in _PCTS[3:])
+              + f"{'MaxDD':>8}{'Trd/Y':>7}")
+    print(header)
+    print("-" * 110)
+
+    roth_rows = []
+    for sid in cfg.ROTH_IDS:
+        if not mc_results.get(sid):
+            continue
+        results = mc_results[sid]
+        wealth = _wealth(results)
+        row = {
+            "id": sid, "name": cfg.STRATEGIES[sid]["name"],
+            "median": float(np.median(wealth)),
+            "cagr": (np.median(wealth) / cap) ** (1 / horizon) - 1,
+            "max_dd": float(np.median([r.get("Max_DD", 0) for r in results])),
+            "trades": float(np.mean([r.get("Trades_Per_Year", 0)
+                                     for r in results])),
+            "win": (float(np.mean(wealth > spy_wealth) * 100)
+                    if len(spy_wealth) == len(wealth) else 0.0),
+        }
+        for pn, pv in _PCTS:
+            row[pn] = float(np.percentile(wealth, pv))
+        roth_rows.append(row)
+        out["roth"][sid] = row
+
+    roth_rows.sort(key=lambda x: x["median"], reverse=True)
+    for i, d in enumerate(roth_rows, 1):
+        print(f"{i:<5}{d['id']:<5}{d['name']:<20}{d['win']:>6.1f}%"
+              + "".join(f"{d[p]:>9,.0f}" for p, _ in _PCTS[:3])
+              + f"{d['median']:>10,.0f}{d['cagr'] * 100:>7.2f}%"
+              + "".join(f"{d[p]:>9,.0f}" for p, _ in _PCTS[3:])
+              + f"{d['max_dd'] * 100:>7.1f}%{d['trades']:>7.1f}")
+
+    # ---------------- Taxable table ----------------
+    print(f"\n{'=' * 110}")
+    print(f"TAXABLE BROKERAGE - {horizon}-YEAR HORIZON "
+          f"({tax_config.get('state_name', tax_config.get('state'))}, "
+          f"${tax_config.get('ordinary_income', 0):,}, "
+          f"{tax_config.get('filing_status', 'single')})")
+    print(f"{'=' * 110}")
+    print(f"{'Rank':<5}{'ID':<5}{'Strategy':<24}{'PreTax$':>12}{'PostTax$':>12}"
+          f"{'PostCAGR':>10}{'Win%':>7}{'MaxDD':>8}{'Trd/Y':>8}")
+    print("-" * 110)
+
+    # SPY post-tax cache reused for every taxable win-rate comparison.
+    spy_post_tax = None
+    if spy_results:
+        spy_taxes = _tax_all_trials(spy_results, horizon, tax_config, "SPY")
+        spy_post_tax = spy_wealth - spy_taxes
+
+    tax_rows = []
+    for sid in cfg.TAXABLE_IDS:
+        if not mc_results.get(sid):
+            continue
+        results = mc_results[sid]
+        wealth = _wealth(results)
+        if not len(wealth):
+            continue
+        taxes = _tax_all_trials(results, horizon, tax_config, sid)
+        post = wealth - taxes
+
+        pcts = {}
+        for pn, pv in _PCTS:
+            pre_w = float(np.percentile(wealth, pv))
+            post_w = float(np.percentile(post, pv))
+            pre_cagr = (pre_w / cap) ** (1 / horizon) - 1
+            post_cagr = ((post_w / cap) ** (1 / horizon) - 1
+                         if post_w > 0 else float("nan"))
+            if pre_cagr > 0.001 and not np.isnan(post_cagr):
+                drag = min((pre_cagr - post_cagr) / pre_cagr * 100, 100.0)
+            elif pre_cagr > 0.001:
+                drag = 100.0
+            else:
+                drag = 0.0
+            pcts[pn] = {"pre_wealth": pre_w, "post_wealth": post_w,
+                        "pre_cagr": pre_cagr, "post_cagr": post_cagr,
+                        "drag": drag, "tax_paid": pre_w - post_w}
+
+        if spy_post_tax is not None and len(spy_post_tax) == len(post):
+            win = float(np.mean(post > spy_post_tax) * 100)
+        elif len(spy_wealth) == len(wealth):
+            win = float(np.mean(wealth > spy_wealth) * 100)
+        else:
+            win = 0.0
+
+        row = {
+            "id": sid, "name": cfg.STRATEGIES[sid]["name"], "pcts": pcts,
+            "max_dd": float(np.median([r.get("Max_DD", 0) for r in results])),
+            "trades": float(np.mean([r.get("Trades_Per_Year", 0)
+                                     for r in results])),
+            "win": win,
+        }
+        tax_rows.append(row)
+        out["taxable"][sid] = row
+
+    # Ranked by P60 post-tax wealth (reference reporting.py:563).
+    tax_rows.sort(key=lambda x: x["pcts"]["p60"]["post_wealth"], reverse=True)
+    for i, d in enumerate(tax_rows, 1):
+        p60 = d["pcts"]["p60"]
+        post_cagr = p60["post_cagr"] * 100 if not np.isnan(p60["post_cagr"]) else float("nan")
+        print(f"{i:<5}{d['id']:<5}{d['name']:<24}{p60['pre_wealth']:>12,.0f}"
+              f"{p60['post_wealth']:>12,.0f}{post_cagr:>9.2f}%"
+              f"{d['win']:>6.1f}%{d['max_dd'] * 100:>7.1f}%{d['trades']:>8.1f}")
+    print("-" * 110)
+    print("Ranked by P60 post-tax wealth. Drag capped at 100% (IRC §1211 "
+          "asymmetry: gains taxed fully, losses deductible $3k/yr).")
+
+    # ---------------- top-5 percentile detail ----------------
+    print(f"\nPERCENTILE DETAIL - top 5 post-tax strategies")
+    print("-" * 110)
+    for d in tax_rows[:5]:
+        print(f"\n{d['name']} ({d['id']})")
+        hdr = f"{'':>8}" + "".join(f"{pn.upper():>14}" for pn, _ in _PCTS)
+        print(hdr)
+        for label, key, fmt in (("Pre:", "pre_wealth", ",.0f"),
+                                ("Post:", "post_wealth", ",.0f"),
+                                ("Drag:", "drag", ".1f")):
+            line = f"{label:>8}"
+            for pn, _ in _PCTS:
+                line += f"{d['pcts'][pn][key]:>14{fmt}}"
+            print(line)
+    print("=" * 110)
+
+    return out

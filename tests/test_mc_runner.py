@@ -1,0 +1,133 @@
+"""MC driver tests: sharded vs single-device equivalence, reference-format
+results, reporting, validation invariants, and the graft entry points."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from letf_tpu import config as cfg
+from letf_tpu.models.params import default_sim_model
+from letf_tpu.parallel.mc_runner import (
+    parallel_monte_carlo_fixed,
+    run_monte_carlo,
+)
+from letf_tpu.parallel.mesh import trial_mesh
+from letf_tpu.validation import (
+    run_institutional_sanity_checks,
+    validate_flat_market_decay,
+    validate_zero_drift_vol_drag,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return default_sim_model()
+
+
+def test_sharded_equals_single_device(model):
+    """The 8-device shard_map path must produce EXACTLY the same summaries
+    as the single-device path (counter-based RNG keyed by trial id)."""
+    n = 16
+    multi = run_monte_carlo(model, 1, num_simulations=n, seed=3,
+                            mesh=trial_mesh(jax.devices()[:8]), progress=False)
+    single = run_monte_carlo(model, 1, num_simulations=n, seed=3,
+                             mesh=trial_mesh(jax.devices()[:1]), progress=False)
+    np.testing.assert_allclose(multi.final_wealth, single.final_wealth,
+                               rtol=1e-12)
+    np.testing.assert_array_equal(multi.num_trades, single.num_trades)
+    np.testing.assert_allclose(multi.max_dd, single.max_dd, rtol=1e-12)
+
+
+def test_chunked_equals_unchunked(model):
+    n = 12
+    a = run_monte_carlo(model, 1, num_simulations=n, seed=1, chunk_size=4,
+                        mesh=trial_mesh(jax.devices()[:1]), progress=False)
+    b = run_monte_carlo(model, 1, num_simulations=n, seed=1, chunk_size=16,
+                        mesh=trial_mesh(jax.devices()[:1]), progress=False)
+    np.testing.assert_allclose(a.final_wealth, b.final_wealth, rtol=1e-12)
+
+
+def test_reference_format_results(model):
+    mc = parallel_monte_carlo_fixed(
+        strategy_ids=["S1", "S2", "S7"], time_horizon=1,
+        regime_model=None, num_simulations=8)
+    assert set(mc.keys()) == {"S1", "S2", "S7"}
+    assert len(mc["S1"]) == 8
+    r = mc["S1"][0]
+    for key in ("Final_Wealth", "Num_Trades", "Trades_Per_Year", "Max_DD",
+                "Metadata"):
+        assert key in r
+    assert r["Metadata"]["regime_counts"][0] + \
+        r["Metadata"]["regime_counts"][1] == 252
+    # Taxable strategy gets a trade list; Roth does not.
+    assert "Trade_List" in mc["S7"][0]
+    assert "Trade_List" not in mc["S1"][0]
+    t = mc["S7"][0]["Trade_List"][0]
+    assert set(t.keys()) == {"day_index", "asset", "action", "shares",
+                             "price", "dollar_amount"}
+
+
+def test_antithetic_pairs_share_base_id(model):
+    mc = parallel_monte_carlo_fixed(
+        strategy_ids=["S2"], time_horizon=1, regime_model=None,
+        num_simulations=6)
+    sims = [r["Metadata"]["sim_id"] for r in mc["S2"]]
+    anti = [r["Metadata"]["antithetic"] for r in mc["S2"]]
+    assert sims == [0, 0, 1, 1, 2, 2]
+    assert anti == [False, True, False, True, False, True]
+
+
+# ---------------------------------------------------------------------------
+# Validation battery
+# ---------------------------------------------------------------------------
+
+def test_zero_drift_vol_drag():
+    out = validate_zero_drift_vol_drag(n_sims=10_000)
+    assert out["test_passed"], out
+
+
+def test_flat_market_decay():
+    out = validate_flat_market_decay(n_sims=5_000)
+    assert out["all_passed"], out
+
+
+def test_institutional_sanity_checks(model):
+    regime_model = {
+        "transition_matrix": np.array([[0.99, 0.01], [0.03, 0.97]]),
+        "funding_model": {
+            "base": 0.0050, "beta_vix": 0.00035, "beta_inv_curve": 0.0014,
+            "beta_liquidity": 0.0010, "beta_credit": 0.0014,
+            "min_spread": 0.0030, "max_spread": 0.0450,
+        },
+        "tracking_residual_model": {
+            "TQQQ": {"rho": 0.25, "base_scale": 0.0003, "df": 5,
+                     "downside_mult": 1.2, "clip_limit": 0.15},
+        },
+    }
+    checks = run_institutional_sanity_checks(
+        regime_model, regime_model["funding_model"],
+        regime_model["tracking_residual_model"])
+    assert checks["all_passed"], checks
+
+
+# ---------------------------------------------------------------------------
+# Graft entry points
+# ---------------------------------------------------------------------------
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out["final_wealth"].shape == (8, 19)
+    assert bool(jnp.all(jnp.isfinite(out["final_wealth"])))
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
