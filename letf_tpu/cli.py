@@ -1,0 +1,71 @@
+"""Command-line interface: ``python -m letf_tpu.cli [options]``.
+
+The reference drives everything through interactive terminal menus
+(ui.py, reporting.py) with env-var escape hatches; here the CLI is
+flag-first with the interactive menus available via --interactive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="letf_tpu",
+        description="TPU-native Leveraged-ETF Monte Carlo framework")
+    p.add_argument("--interactive", action="store_true",
+                   help="enable interactive date/tax menus")
+    p.add_argument("--sims", type=int, default=None,
+                   help="simulations per horizon (default config)")
+    p.add_argument("--horizons", type=int, nargs="+", default=None,
+                   help="time horizons in years (default 10 20 30)")
+    p.add_argument("--start-date", type=str, default=None,
+                   help="analysis start date YYYY-MM-DD")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--state", type=str, default="CA",
+                   choices=["CA", "NY", "TX", "FL", "WA", "NV", "IL", "MA", "NJ"])
+    p.add_argument("--income", type=int, default=150000)
+    p.add_argument("--filing", type=str, default="single",
+                   choices=["single", "married"])
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="force the offline synthetic market history")
+    p.add_argument("--quick", action="store_true",
+                   help="10 sims x 10y, strategies S1-S3")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if not args.interactive:
+        os.environ["LETF_NON_INTERACTIVE"] = "1"
+
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/letf_tpu_jax_cache")
+
+    from letf_tpu import config as cfg
+
+    if args.sims is not None:
+        cfg.NUM_SIMULATIONS = args.sims
+    if args.start_date:
+        cfg.ANALYSIS_START_DATE = args.start_date
+
+    if args.quick:
+        cfg.NUM_SIMULATIONS = args.sims or 10
+        import quick_test  # noqa: F401  (repo-root smoke script)
+        quick_test.main()
+        return
+
+    from letf_tpu.runner import run
+    run(horizons=args.horizons, seed=args.seed,
+        tax_overrides={"state": args.state, "ordinary_income": args.income,
+                       "filing_status": args.filing},
+        force_synthetic=args.synthetic_data)
+
+
+if __name__ == "__main__":
+    main()

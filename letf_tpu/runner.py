@@ -1,11 +1,14 @@
 """Orchestrator: the full analysis pipeline (reference letf/__init__.py:19-202).
 
-Filled out incrementally; see run() docstring for the stage list.
+Stages: golden tax gate -> date selection -> data -> tax config ->
+calibration (6 models) -> validation battery -> per-horizon Monte Carlo ->
+summary statistics -> historical comparison -> timing summary.
 """
 
 from __future__ import annotations
 
 import time
+from typing import Dict, List, Optional
 
 
 def _fmt_elapsed(seconds: float) -> str:
@@ -15,9 +18,11 @@ def _fmt_elapsed(seconds: float) -> str:
     return f"{int(m)}m {s:.1f}s"
 
 
-def run() -> None:
-    """Golden tax gate -> data -> calibration -> validation -> Monte Carlo per
-    horizon -> summary statistics -> historical comparison."""
+def run(horizons: Optional[List[int]] = None, seed: int = 0,
+        tax_overrides: Optional[Dict] = None,
+        force_synthetic: bool = False) -> Dict:
+    """Run the complete analysis. Returns {horizon: summary dict} (the
+    reference only prints; returning data is a deliberate upgrade)."""
     from letf_tpu import config as cfg
     from letf_tpu.tax.engine import run_golden_tests
 
@@ -34,30 +39,42 @@ def run() -> None:
     cfg.init_cache()
     cfg.print_banner()
 
+    # Mandatory gate: abort on any golden-test failure.
     _step("Tax engine validation")
     run_golden_tests(trace_failures=True)
 
-    from letf_tpu.ui import get_start_date_interactive, validate_time_horizons_for_start_date
-    from letf_tpu.data import fetch_historical_data
     from letf_tpu.calibration import calibrate_all
-    from letf_tpu.validation import run_validation_tests
-    from letf_tpu.parallel.mc_runner import parallel_monte_carlo_fixed
-    from letf_tpu.reporting import create_summary_statistics, get_tax_config_interactive
+    from letf_tpu.data import fetch_historical_data
     from letf_tpu.historical import (
         compare_simulated_vs_historical,
         compare_simulated_vs_synthetic_historical,
     )
+    from letf_tpu.parallel.mc_runner import parallel_monte_carlo_fixed
+    from letf_tpu.reporting import (
+        create_summary_statistics,
+        get_tax_config_interactive,
+    )
+    from letf_tpu.ui import (
+        get_start_date_interactive,
+        validate_time_horizons_for_start_date,
+    )
+    from letf_tpu.validation import run_validation_tests
 
     _step("Date selection")
     selected_start, selected_end = get_start_date_interactive()
-    print(f"\n  Using date range: {selected_start} to {selected_end}")
+    print(f"  Using date range: {selected_start} to {selected_end}")
 
     _step("Fetch historical data")
-    df = fetch_historical_data()
-    print(f"  Data loaded: {len(df):,} days ({len(df) / 252:.2f} years)")
+    df = fetch_historical_data(force_synthetic=force_synthetic)
 
     _step("Tax configuration")
     tax_config = get_tax_config_interactive()
+    if tax_overrides:
+        tax_config.update(tax_overrides)
+        if "state" in tax_overrides:
+            from letf_tpu.reporting import STATE_TAX_INFO
+            tax_config["state_name"] = STATE_TAX_INFO[
+                tax_overrides["state"]]["name"]
 
     _step("Calibration (all models)")
     regime_model, correlation_matrices = calibrate_all(df)
@@ -65,13 +82,14 @@ def run() -> None:
     _step("Validation tests")
     run_validation_tests(df=df, regime_model=regime_model)
 
-    requested_horizons = [10, 20, 30]
+    requested = horizons if horizons else [10, 20, 30]
     time_horizons = validate_time_horizons_for_start_date(
-        cfg.ANALYSIS_START_DATE, requested_horizons)
+        cfg.ANALYSIS_START_DATE, requested)
     if not time_horizons:
         print("\nERROR: Not enough data for any requested time horizon!")
-        return
+        return {}
 
+    summaries: Dict[int, Dict] = {}
     for horizon in time_horizons:
         print(f"\n{'=' * 80}")
         print(f"MONTE CARLO SIMULATION: {horizon}-YEAR HORIZON")
@@ -84,10 +102,12 @@ def run() -> None:
             regime_model=regime_model,
             correlation_matrices=correlation_matrices,
             historical_df=df,
+            seed=seed,
         )
 
         _step(f"Summary stats {horizon}Y")
-        create_summary_statistics(mc_results, horizon, tax_config=tax_config)
+        summaries[horizon] = create_summary_statistics(
+            mc_results, horizon, tax_config=tax_config)
 
         _step(f"Historical comparison {horizon}Y")
         compare_simulated_vs_historical(df, mc_results, horizon)
@@ -105,3 +125,4 @@ def run() -> None:
         print(f"  {label:<40s} {_fmt_elapsed(end - start):>8s}  ({pct:5.1f}%)")
     print(f"  {'TOTAL':<40s} {_fmt_elapsed(total):>8s}")
     print("\nANALYSIS COMPLETE")
+    return summaries

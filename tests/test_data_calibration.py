@@ -1,0 +1,198 @@
+"""Data layer + calibration + historical-validation tests (offline mode)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from letf_tpu import config as cfg
+from letf_tpu import historical
+from letf_tpu.calibration import (
+    calibrate_all,
+    calibrate_funding_spread_model,
+    calibrate_joint_return_model,
+    calibrate_regime_model_volatility,
+    calibrate_stress_state_model,
+    calibrate_tracking_residual_model,
+    fit_garch11_mle,
+    predict_borrow_spread_series,
+)
+from letf_tpu.data import fetch_historical_data, generate_synthetic_history
+
+
+@pytest.fixture(scope="module", autouse=True)
+def isolated_cache(tmp_path_factory):
+    """Point every cache path at a temp dir for the whole module."""
+    tmp = tmp_path_factory.mktemp("cache")
+    originals = {}
+    for name in ("CACHE_DIR", "DATA_CACHE", "REGIME_MODEL_CACHE",
+                 "CORRELATION_CACHE", "VALIDATION_RESULTS",
+                 "JOINT_RETURN_MODEL_CACHE", "FUNDING_MODEL_CACHE",
+                 "TRACKING_RESIDUAL_CACHE", "STRESS_STATE_CACHE",
+                 "BOOTSTRAP_CACHE"):
+        originals[name] = getattr(cfg, name)
+    cfg.CACHE_DIR = tmp
+    cfg.DATA_CACHE = tmp / "historical_data.pkl"
+    cfg.REGIME_MODEL_CACHE = tmp / "regime_model.pkl"
+    cfg.CORRELATION_CACHE = tmp / "correlations.pkl"
+    cfg.VALIDATION_RESULTS = tmp / "validation_results.json"
+    cfg.JOINT_RETURN_MODEL_CACHE = tmp / "joint_return_model.pkl"
+    cfg.FUNDING_MODEL_CACHE = tmp / "funding_spread_model.pkl"
+    cfg.TRACKING_RESIDUAL_CACHE = tmp / "tracking_residual_model.pkl"
+    cfg.STRESS_STATE_CACHE = tmp / "stress_state_model.pkl"
+    cfg.BOOTSTRAP_CACHE = tmp / "bootstrap_data.pkl"
+    yield
+    for name, val in originals.items():
+        setattr(cfg, name, val)
+
+
+@pytest.fixture(scope="module")
+def df():
+    # Short synthetic history keeps the module fast.
+    return generate_synthetic_history("2000-01-01", "2025-12-31")
+
+
+def test_synthetic_history_schema(df):
+    for col in ("SPY_Ret", "QQQ_Ret", "TLT_Ret", "VIX", "IRX", "TNX",
+                "Cash_Ret", "TQQQ_Real_Ret", "UPRO_Real_Ret", "SSO_Real_Ret"):
+        assert col in df.columns, col
+    assert (df["VIX"] > 0).all()
+    assert df["SPY_Ret"].abs().max() < 0.5
+    # Real LETF columns exist only post-inception.
+    pre = df.index < pd.Timestamp(cfg.ASSETS["TQQQ"].inception)
+    assert df.loc[pre, "TQQQ_Real_Ret"].isna().all()
+
+
+def test_fetch_historical_data_reconstruction(df):
+    out = fetch_historical_data(force_synthetic=True)
+    for asset in cfg.ASSET_NAMES:
+        assert f"{asset}_Ret" in out.columns
+        assert f"{asset}_Price" in out.columns
+        assert f"{asset}_IsSynthetic" in out.columns
+    # Post-inception TQQQ uses real returns.
+    real_mask = ~out["TQQQ_IsSynthetic"]
+    assert real_mask.sum() > 0
+    np.testing.assert_allclose(out.loc[real_mask, "TQQQ_Ret"],
+                               out.loc[real_mask, "TQQQ_Real_Ret"])
+    # Prices are continuous and positive.
+    assert (out["TQQQ_Price"] > 0).all()
+
+
+def test_regime_calibration_structure(df):
+    model = calibrate_regime_model_volatility(df)
+    tm = model["transition_matrix"]
+    assert tm.shape == (2, 2)
+    np.testing.assert_allclose(tm.sum(axis=1), 1.0, atol=1e-9)
+    assert (tm >= 0).all()
+    assert set(model["regime_params"].keys()) == {0, 1}
+    # High-vol regime must have higher vol and VIX.
+    assert (model["regime_params"][1]["daily_std"]
+            > model["regime_params"][0]["daily_std"])
+    assert (model["regime_params"][1]["avg_vix"]
+            > model["regime_params"][0]["avg_vix"])
+    assert len(model["duration_samples"][0]) > 0
+    assert model["steady_state"].sum() == pytest.approx(1.0)
+
+
+def test_garch_mle_recovers_truth():
+    rng = np.random.default_rng(0)
+    n, alpha_true, beta_true = 5000, 0.08, 0.88
+    h, r = 1e-4, np.zeros(n)
+    for t in range(1, n):
+        h = 1e-4 * (1 - alpha_true - beta_true) + alpha_true * r[t - 1] ** 2 + beta_true * h
+        r[t] = np.sqrt(h * (3 / 5)) * rng.standard_t(5)
+    fit = fit_garch11_mle(r, nu=5.0)
+    assert fit is not None
+    alpha, beta = fit
+    assert abs(alpha - alpha_true) < 0.04
+    assert abs(beta - beta_true) < 0.06
+
+
+def test_joint_model_calibration(df):
+    regimes = calibrate_regime_model_volatility(df)["regimes_historical"]
+    jm = calibrate_joint_return_model(df, regimes)
+    for r in range(2):
+        p = jm["regimes"][r]
+        assert p["cov"].shape == (3, 3)
+        assert np.all(np.linalg.eigvalsh(p["cov"]) > -1e-12)
+        assert 3.0 < p["nu"] <= 12.0
+        assert 0 < p["garch_alpha"] < 0.3
+        assert 0 < p["garch_beta"] < 1.0
+
+
+def test_funding_model_activation(df):
+    fm = calibrate_funding_spread_model(df, bypass_cache=True)
+    assert fm["min_spread"] < fm["max_spread"]
+    base_df = pd.DataFrame({"VIX": [20.0] * 5, "IRX": [4.0] * 5,
+                            "TNX": [5.2] * 5})
+    hi_df = base_df.assign(VIX=45.0)
+    lo = predict_borrow_spread_series(base_df, fm).mean()
+    hi = predict_borrow_spread_series(hi_df, fm).mean()
+    assert hi >= lo  # VIX loading is clipped >= 0
+
+
+def test_stress_and_tracking_models(df):
+    regimes = calibrate_regime_model_volatility(df)["regimes_historical"]
+    sm = calibrate_stress_state_model(df, regimes)
+    for r in range(2):
+        p = sm["regimes"][r]
+        assert 0.5 <= p["liq_phi"] <= 0.98
+        assert 0.0002 <= p["jump_base_prob"] <= 0.003
+    fm = calibrate_funding_spread_model(df, bypass_cache=True)
+    trm = calibrate_tracking_residual_model(df, funding_model=fm,
+                                            bypass_cache=True)
+    assert "TQQQ" in trm
+    assert 0.0 <= trm["TQQQ"]["rho"] <= 0.7
+    assert trm["TQQQ"]["base_scale"] > 0
+
+
+def test_calibrate_all_and_sim_model_roundtrip(df):
+    regime_model, correlations = calibrate_all(df)
+    assert correlations[1][0, 1] >= 0.95  # crisis equity correlation forced
+    from letf_tpu.models.params import build_sim_model
+    model = build_sim_model(regime_model)
+    assert model.joint.rbar.shape == (2, 3, 3)
+    assert np.isfinite(model.joint.long_var).all()
+    # Dwell tables populated from empirical samples.
+    assert model.regime.has_dwell.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Historical validation machinery
+# ---------------------------------------------------------------------------
+
+def test_rolling_cagrs():
+    r = np.full(504, 0.001)
+    cagrs = historical._rolling_cagrs_from_returns(r, 1, stride=21)
+    expected = (1.001 ** 252) - 1
+    np.testing.assert_allclose(cagrs, expected, rtol=1e-10)
+
+
+def test_distribution_overlap_bounds():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, 1000)
+    assert historical.calculate_distribution_overlap(a, a) > 0.9
+    b = rng.normal(10, 1, 1000)
+    assert historical.calculate_distribution_overlap(a, b) < 0.05
+
+
+def test_percentile_rank():
+    dist = np.arange(100, dtype=float)
+    assert historical.find_percentile_rank(50.0, dist) == pytest.approx(51.0)
+    assert historical.find_percentile_rank(-1.0, dist) == 0.0
+    assert historical.find_percentile_rank(1000.0, dist) == 100.0
+
+
+def test_quality_score_high_for_matching_distributions():
+    rng = np.random.default_rng(1)
+    hist = rng.normal(0.08, 0.05, 200)
+    sim = rng.normal(0.08, 0.05, 5000)
+    score = historical._score_comparison(hist, sim)
+    assert score["quality_score"] > 80
+    assert score["median_in_iqr"]
+
+
+def test_strategy_on_history_infers_regimes(df):
+    out = fetch_historical_data(force_synthetic=True)
+    ec, trades = historical.run_strategy_on_history(out.iloc[:1000], "S4")
+    assert len(ec) == 1000
+    assert np.isfinite(ec.values).all()
