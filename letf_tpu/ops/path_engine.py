@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from letf_tpu import config as cfg
@@ -326,6 +327,7 @@ class Innovations(NamedTuple):
     t_abs: jax.Array          # [S] |t_5| magnitudes
     jump_sign: jax.Array      # [S] ±1
     te_draws: jax.Array       # [S, A] Student-t(df_a)
+    mode_key: jax.Array       # key material for legacy/parametric modes
 
 
 def _to_device(model: SimModel) -> SimModel:
@@ -390,21 +392,112 @@ def draw_innovations(model: SimModel, run_key, trial_id, antithetic,
         initial_vix=initial_vix, regime_full=regime_full, eps=eps,
         u_chi=u_chi, vix_noise=vix_noise, irx_noise=irx_noise,
         stress_norms=stress_norms, u_jump=u_jump, t_abs=t_abs,
-        jump_sign=jump_sign, te_draws=te_draws)
+        jump_sign=jump_sign, te_draws=te_draws,
+        mode_key=rngs.stream(tk, rngs.BOOTSTRAP))
+
+
+def simulate_vix_given_returns(model: SimModel, regime_path, spy_returns,
+                               vix_noise):
+    """Standalone VIX AR(1)+jump recursion for engine modes whose returns
+    are generated outside the fused joint scan (engine.py:99-115)."""
+    V = model.vix
+    reg = model.regime
+    dt = spy_returns.dtype
+
+    def step(carry, xs):
+        vix_prev, t = carry
+        r, s, vn = xs
+        denom = jnp.maximum(reg.daily_std[r], 1e-4)
+        shock = jnp.maximum(-s, 0.0) / denom
+        vjump = V.jump_scale[r] * jnp.maximum(0.0, shock - V.jump_threshold[r])
+        vix_ar = jnp.maximum(
+            10.0, V.phi[r] * vix_prev + (1 - V.phi[r]) * V.target[r]
+            + vjump + V.noise_std[r] * vn)
+        vix_t = jnp.where(t == 0, V.base[r].astype(dt), vix_ar)
+        return (vix_t, t + 1), vix_t
+
+    _, vix = lax.scan(step, (jnp.zeros((), dt), jnp.int32(0)),
+                      (regime_path, spy_returns, vix_noise))
+    return vix
+
+
+def generate_returns_parametric(model: SimModel, regime_path, key):
+    """Pure parametric fallback mode (engine.py:81-97): regime-conditional
+    correlated Student-t draws; QQQ/TLT as SPY loadings plus noise."""
+    total_days = regime_path.shape[0]
+    z = jax.random.t(key, float(cfg.STUDENT_T_DF), (total_days, 3))
+    corr_low = np.linalg.cholesky(np.array(
+        [[1.0, 0.85, -0.15], [0.85, 1.0, -0.10], [-0.15, -0.10, 1.0]]))
+    corr_high = np.linalg.cholesky(np.array(
+        [[1.0, 0.92, -0.45], [0.92, 1.0, -0.30], [-0.45, -0.30, 1.0]]))
+    chol = jnp.where((regime_path == 0)[:, None, None],
+                     jnp.asarray(corr_low), jnp.asarray(corr_high))
+    x = jnp.einsum("tij,tj->ti", chol, z)
+    std = jnp.asarray(model.regime.daily_std)[regime_path]
+    mu = jnp.asarray(model.regime.daily_mean)[regime_path]
+    spy = mu + std * x[:, 0]
+    qqq = 1.15 * spy + 0.006 * x[:, 1]
+    tlt = -0.12 * spy + 0.004 * x[:, 2]
+    return spy, qqq, tlt
+
+
+def blend_engine_noise(model: SimModel, regime_path, spy, qqq, tlt, key):
+    """Engine-level bootstrap/noise blend (engine.py:56-80): correlated
+    Student-t innovations scaled by regime vol, double-weighted exactly as
+    the reference does (noise itself carries the (1-W) factor, then the
+    blend applies another (1-W))."""
+    total_days = regime_path.shape[0]
+    w = float(np.clip(cfg.BOOTSTRAP_WEIGHT, 0.0, 1.0))
+    noise_w = 1.0 - w
+    z = jax.random.t(key, float(cfg.STUDENT_T_DF), (total_days, 3))
+    chol_low = jnp.asarray(np.linalg.cholesky(np.array(
+        [[1.0, 0.88, -0.18], [0.88, 1.0, -0.12], [-0.18, -0.12, 1.0]])))
+    chol_high = jnp.asarray(np.linalg.cholesky(np.array(
+        [[1.0, 0.94, -0.42], [0.94, 1.0, -0.30], [-0.42, -0.30, 1.0]])))
+    chol = jnp.where((regime_path == 0)[:, None, None], chol_low, chol_high)
+    x = jnp.einsum("tij,tj->ti", chol, z)
+    spy_std = jnp.asarray(model.regime.daily_std)[regime_path]
+    spy_noise = noise_w * spy_std * 0.55 * x[:, 0]
+    qqq_noise = noise_w * 1.35 * spy_std * 0.45 * x[:, 1]
+    tlt_noise = noise_w * 0.55 * spy_std * 0.35 * x[:, 2]
+    return (w * spy + (1 - w) * (spy + spy_noise),
+            w * qqq + (1 - w) * (qqq + qqq_noise),
+            w * tlt + (1 - w) * (tlt + tlt_noise))
 
 
 def path_from_innovations(model: SimModel, innov: Innovations,
                           sim_days: int,
                           moment_matching: bool = True,
                           use_funding_model: bool = True,
-                          use_stress: bool = True) -> PathOutputs:
+                          use_stress: bool = True,
+                          engine_mode: str = "institutional_v1",
+                          bootstrap_pools=None) -> PathOutputs:
     """Deterministic path math given pre-drawn innovations (jit-safe)."""
     model = _to_device(model)
     regime_full = innov.regime_full
 
-    x_full, vix_full = simulate_joint_and_vix(
-        model, regime_full, innov.eps, innov.u_chi, innov.vix_noise,
-        moment_matching=moment_matching)
+    if engine_mode == "institutional_v1":
+        x_full, vix_full = simulate_joint_and_vix(
+            model, regime_full, innov.eps, innov.u_chi, innov.vix_noise,
+            moment_matching=moment_matching)
+        spy_f, qqq_f, tlt_f = x_full[:, 0], x_full[:, 1], x_full[:, 2]
+    else:
+        # Legacy/parametric modes generate returns outside the joint scan.
+        key = innov.mode_key
+        if engine_mode == "legacy_hybrid" and bootstrap_pools is not None:
+            from letf_tpu.models.bootstrap import sample_bootstrap_returns
+            k_boot, k_blend = jax.random.split(key)
+            sampled = sample_bootstrap_returns(
+                bootstrap_pools, regime_full, k_boot,
+                n_days=int(regime_full.shape[0]))
+            spy_f, qqq_f, tlt_f = blend_engine_noise(
+                model, regime_full, sampled["SPY_Ret"], sampled["QQQ_Ret"],
+                sampled["TLT_Ret"], k_blend)
+        else:
+            spy_f, qqq_f, tlt_f = generate_returns_parametric(
+                model, regime_full, key)
+        vix_full = simulate_vix_given_returns(model, regime_full, spy_f,
+                                              innov.vix_noise)
 
     irx_full = jnp.clip(
         jnp.asarray(model.irx_base)[regime_full] + 0.5 * innov.irx_noise,
@@ -415,10 +508,9 @@ def path_from_innovations(model: SimModel, innov: Innovations,
         return lax.dynamic_slice_in_dim(a, innov.start_offset, sim_days, axis=0)
 
     regime = window(regime_full)
-    x = window(x_full)
     vix = window(vix_full)
     irx = window(irx_full)
-    spy, qqq, tlt = x[:, 0], x[:, 1], x[:, 2]
+    spy, qqq, tlt = window(spy_f), window(qqq_f), window(tlt_f)
 
     # ---- latent stress + symmetric signed jumps ----
     if use_stress:
@@ -469,23 +561,30 @@ def path_from_innovations(model: SimModel, innov: Innovations,
 @functools.partial(
     jax.jit,
     static_argnames=("sim_days", "buffer_days", "random_start_method",
-                     "moment_matching", "use_funding_model", "use_stress"))
+                     "moment_matching", "use_funding_model", "use_stress",
+                     "engine_mode"))
 def generate_path(model: SimModel, run_key, trial_id, antithetic,
                   sim_days: int, buffer_days: int = 0,
                   random_start_method: str = "offset",
                   moment_matching: bool = True,
                   use_funding_model: bool = True,
-                  use_stress: bool = True) -> PathOutputs:
+                  use_stress: bool = True,
+                  engine_mode: str = "institutional_v1",
+                  bootstrap_pools=None) -> PathOutputs:
     """One Monte Carlo trial (jit; vmap over trial_id/antithetic for batches).
 
     Mirrors simulate_single_path_fixed (engine.py:423-619) stage by stage;
     the time axis stays a serial scan on-chip, all other axes vectorize.
+    engine_mode selects the return generator: 'institutional_v1' (joint
+    multivariate-t), 'legacy_hybrid' (block bootstrap + noise blend;
+    requires bootstrap_pools), or 'parametric' (regime Student-t fallback).
     """
     innov = draw_innovations(model, run_key, trial_id, antithetic,
                              sim_days, buffer_days, random_start_method)
     return path_from_innovations(
         model, innov, sim_days, moment_matching=moment_matching,
-        use_funding_model=use_funding_model, use_stress=use_stress)
+        use_funding_model=use_funding_model, use_stress=use_stress,
+        engine_mode=engine_mode, bootstrap_pools=bootstrap_pools)
 
 
 # Jitted single-trial wrappers (tests / host-side tooling).
@@ -495,7 +594,7 @@ draw_innovations_jit = jax.jit(
 path_from_innovations_jit = jax.jit(
     path_from_innovations,
     static_argnames=("sim_days", "moment_matching", "use_funding_model",
-                     "use_stress"))
+                     "use_stress", "engine_mode"))
 
 
 def generate_paths_batch(model: SimModel, run_key, trial_ids, antithetic,

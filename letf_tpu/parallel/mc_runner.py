@@ -56,13 +56,17 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
                    sim_days: int, buffer_days: int,
                    random_start_method: str = "offset",
                    apply_costs: bool = True, emit_trades: bool = False,
-                   moment_matching: bool = True):
+                   moment_matching: bool = True,
+                   engine_mode: str = "institutional_v1",
+                   bootstrap_pools=None):
     """One fused chunk: paths -> signals -> strategies -> summaries."""
     fn = functools.partial(
         generate_path, sim_days=sim_days, buffer_days=buffer_days,
         random_start_method=random_start_method,
-        moment_matching=moment_matching)
-    path = jax.vmap(lambda t, a: fn(model, run_key, t, a))(trial_ids, antithetic)
+        moment_matching=moment_matching, engine_mode=engine_mode)
+    path = jax.vmap(lambda t, a: fn(model, run_key, t, a,
+                                    bootstrap_pools=bootstrap_pools))(
+        trial_ids, antithetic)
     sig = compute_signals(path)
     res = run_strategies_batch(path, sig, apply_costs=apply_costs,
                                emit_trades=emit_trades)
@@ -81,30 +85,33 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
 _mc_chunk = jax.jit(
     _mc_chunk_body,
     static_argnames=("sim_days", "buffer_days", "random_start_method",
-                     "apply_costs", "emit_trades", "moment_matching"))
+                     "apply_costs", "emit_trades", "moment_matching",
+                     "engine_mode"))
 
 
 @functools.lru_cache(maxsize=16)
 def _sharded_chunk(mesh, sim_days: int, buffer_days: int,
                    random_start_method: str, apply_costs: bool,
-                   moment_matching: bool):
+                   moment_matching: bool, engine_mode: str = "institutional_v1"):
     """SPMD chunk over the trial mesh: each device runs the full engine on
-    its local slice of trials; model and key are replicated; only summary
-    tensors cross devices (at the final host gather)."""
+    its local slice of trials; model, key, and bootstrap pools are
+    replicated; only summary tensors cross devices (at the final host
+    gather)."""
     from jax.sharding import PartitionSpec as P
 
-    def local(model, run_key, trial_ids, antithetic):
+    def local(model, run_key, trial_ids, antithetic, pools):
         summaries, _ = _mc_chunk_body(
             model, run_key, trial_ids, antithetic, sim_days, buffer_days,
             random_start_method=random_start_method, apply_costs=apply_costs,
-            emit_trades=False, moment_matching=moment_matching)
+            emit_trades=False, moment_matching=moment_matching,
+            engine_mode=engine_mode, bootstrap_pools=pools)
         return summaries
 
     # check_vma=False: scan carries start replicated (e.g. start_regime=0)
     # and become trial-varying inside; the strict varying-axis checker would
     # demand explicit pcasts at every such seam.
     f = jax.shard_map(local, mesh=mesh,
-                      in_specs=(P(), P(), P("trials"), P("trials")),
+                      in_specs=(P(), P(), P("trials"), P("trials"), P()),
                       out_specs=P("trials"), check_vma=False)
     return jax.jit(f)
 
@@ -131,6 +138,8 @@ def run_monte_carlo(
     random_start_method: Optional[str] = None,
     apply_costs: bool = True,
     progress: bool = True,
+    engine_mode: Optional[str] = None,
+    bootstrap_pools=None,
 ) -> MCArrays:
     """Run N trials of `time_horizon` years through the full engine.
 
@@ -146,6 +155,10 @@ def run_monte_carlo(
     if random_start_method is None:
         random_start_method = (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
                                else "none")
+    if engine_mode is None:
+        engine_mode = cfg.SIM_ENGINE_MODE
+    if engine_mode == "legacy_hybrid" and bootstrap_pools is None:
+        engine_mode = "parametric"   # no pools -> parametric fallback
     sim_days = int(time_horizon * cfg.TRADING_DAYS)
     buffer_days = (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
                    if random_start_method == "offset" else 0)
@@ -164,7 +177,8 @@ def run_monte_carlo(
 
     if n_dev > 1:
         chunk_fn = _sharded_chunk(mesh, sim_days, buffer_days,
-                                  random_start_method, apply_costs, True)
+                                  random_start_method, apply_costs, True,
+                                  engine_mode)
     else:
         chunk_fn = None
 
@@ -177,14 +191,15 @@ def run_monte_carlo(
         if chunk_fn is not None:
             ids_c = jax.device_put(jnp.asarray(ids[idx], jnp.int32), sharding)
             anti_c = jax.device_put(jnp.asarray(anti[idx]), sharding)
-            summaries = chunk_fn(model, key, ids_c, anti_c)
+            summaries = chunk_fn(model, key, ids_c, anti_c, bootstrap_pools)
         else:
             ids_c = jnp.asarray(ids[idx], jnp.int32)
             anti_c = jnp.asarray(anti[idx])
             summaries, _ = _mc_chunk(
                 model, key, ids_c, anti_c, sim_days, buffer_days,
                 random_start_method=random_start_method,
-                apply_costs=apply_costs)
+                apply_costs=apply_costs, engine_mode=engine_mode,
+                bootstrap_pools=bootstrap_pools)
         for k, v in summaries.items():
             outs.setdefault(k, []).append(np.asarray(v)[:n_here])
         n_done += n_here
@@ -270,8 +285,16 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
     model = build_sim_model(regime_model if isinstance(regime_model, dict)
                             else None) if not isinstance(regime_model, SimModel) \
         else regime_model
+
+    bootstrap_pools = None
+    if (cfg.SIM_ENGINE_MODE == "legacy_hybrid" and cfg.USE_BLOCK_BOOTSTRAP
+            and historical_df is not None):
+        from letf_tpu.models.bootstrap import create_bootstrap_sampler
+        bootstrap_pools = create_bootstrap_sampler(historical_df)
+
     arrays = run_monte_carlo(model, time_horizon,
-                             num_simulations=num_simulations, seed=seed)
+                             num_simulations=num_simulations, seed=seed,
+                             bootstrap_pools=bootstrap_pools)
 
     want_trades = (num_simulations <= trade_list_limit
                    and any(s in cfg.TAXABLE_IDS for s in strategy_ids))
