@@ -41,31 +41,13 @@ def _estimate_leverage_ratio(avg_trades_per_year: float) -> float:
     return 1.8
 
 
-def process_trades_with_wired_engine(
-    trades: List[Dict],
-    time_horizon_years: int,
-    elections: TaxpayerElections,
-    initial_capital: float,
-    debug: bool = False,
-    strategy_id: str = "UNKNOWN",
-    tax_config: Optional[Dict] = None,
-) -> Dict:
-    """Process a strategy's trade list through the full tax engine."""
-    if tax_config is None:
-        tax_config = {"filing_status": "single", "state": "CA",
-                      "ordinary_income": 150000, "career_stage": "mid"}
-
-    if not trades:
-        return {
-            "total_tax": 0, "yearly_taxes": [],
-            "total_st_gains": 0, "total_lt_gains": 0,
-            "final_cf": {"st": 0, "lt": 0},
-            "debug_info": "No trades provided",
-        }
-
-    # ------------------------------------------------------------------
-    # Pass 1: wash sales over the whole horizon.
-    # ------------------------------------------------------------------
+def _yearly_activity_from_trades(trades: List[Dict],
+                                 elections: TaxpayerElections) -> Dict:
+    """Passes 1+2 of the wired engine: wash-sale analysis over the full
+    trade list, then lot-tracked realization aggregated by tax year.
+    Returns {year: {st_gains, st_losses, lt_gains, lt_losses,
+    wash_sale_disallowed}} — the bridge between trade lists and the
+    vectorized (trial, year) device tax (letf_tpu.tax.vectorized)."""
     wash_tracker = WashSaleTracker(days_per_year=_DAYS_PER_YEAR)
     for t in trades:
         wash_tracker.record_trade(
@@ -74,15 +56,32 @@ def process_trades_with_wired_engine(
             price=t["price"])
     wash_tracker.process_all_wash_sales()
 
-    # ------------------------------------------------------------------
-    # Pass 2: lot-tracked realization by tax year.
-    # ------------------------------------------------------------------
     yearly_activity: Dict[int, Dict[str, float]] = defaultdict(lambda: {
         "st_gains": 0.0, "st_losses": 0.0,
         "lt_gains": 0.0, "lt_losses": 0.0,
         "wash_sale_disallowed": 0.0,
     })
     positions: Dict[str, List[Dict]] = defaultdict(list)
+
+    # Sorted buy-day index per asset: the per-sale wash re-check ("any buy
+    # within +/-30 days") becomes two binary searches instead of the
+    # reference's scan over the whole trade list per consumed lot.
+    buy_days_by_asset: Dict[str, np.ndarray] = {}
+    for t in trades:
+        if t["action"] == "BUY":
+            buy_days_by_asset.setdefault(t["asset"], []).append(t["day_index"])
+    buy_days_by_asset = {a: np.sort(np.asarray(d, dtype=np.int64))
+                         for a, d in buy_days_by_asset.items()}
+
+    def _any_buy_in_window(asset: str, sale_day: int) -> bool:
+        days = buy_days_by_asset.get(asset)
+        if days is None:
+            return False
+        lo = np.searchsorted(days, sale_day - 30, side="left")
+        hi = np.searchsorted(days, sale_day + 30, side="right")
+        if hi <= lo:
+            return False
+        return bool(np.any(days[lo:hi] != sale_day))
 
     for trade in trades:
         year = trade["day_index"] // _DAYS_PER_YEAR
@@ -128,15 +127,8 @@ def process_trades_with_wired_engine(
                 holding_days = sale_day - pos["original_day"]
                 gain_loss = sold * (sale_price - pos["adjusted_price"])
 
-                # Per-sale wash re-check against ANY buy within ±30 days.
-                is_wash = False
-                if gain_loss < 0:
-                    for other in trades:
-                        if (other["asset"] == asset and other["action"] == "BUY"
-                                and other["day_index"] != sale_day
-                                and abs(other["day_index"] - sale_day) <= 30):
-                            is_wash = True
-                            break
+                # Per-sale wash re-check against ANY buy within +/-30 days.
+                is_wash = gain_loss < 0 and _any_buy_in_window(asset, sale_day)
 
                 if is_wash and gain_loss < 0:
                     yearly_activity[year]["wash_sale_disallowed"] += abs(gain_loss)
@@ -151,6 +143,33 @@ def process_trades_with_wired_engine(
                 remaining -= sold
 
             positions[asset] = [p for p in positions[asset] if p["shares"] > 0.001]
+
+    return yearly_activity
+
+
+def process_trades_with_wired_engine(
+    trades: List[Dict],
+    time_horizon_years: int,
+    elections: TaxpayerElections,
+    initial_capital: float,
+    debug: bool = False,
+    strategy_id: str = "UNKNOWN",
+    tax_config: Optional[Dict] = None,
+) -> Dict:
+    """Process a strategy's trade list through the full tax engine."""
+    if tax_config is None:
+        tax_config = {"filing_status": "single", "state": "CA",
+                      "ordinary_income": 150000, "career_stage": "mid"}
+
+    if not trades:
+        return {
+            "total_tax": 0, "yearly_taxes": [],
+            "total_st_gains": 0, "total_lt_gains": 0,
+            "final_cf": {"st": 0, "lt": 0},
+            "debug_info": "No trades provided",
+        }
+
+    yearly_activity = _yearly_activity_from_trades(trades, elections)
 
     # ------------------------------------------------------------------
     # Income path + margin interest assumptions.

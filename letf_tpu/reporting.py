@@ -152,11 +152,42 @@ def _wealth(results: List[Dict]) -> np.ndarray:
 
 
 def _tax_all_trials(results: List[Dict], time_horizon: int, tax_config: Dict,
-                    sid: str) -> np.ndarray:
-    """Reference tax amortization: exact tax for <= MAX_TAX_SIMS trials
-    sampled evenly across sorted wealth, monotone-interpolated for the rest."""
+                    sid: str, exact_all: bool = False) -> np.ndarray:
+    """Per-trial tax for a strategy's result list.
+
+    Default: the reference's amortization — exact tax for <= MAX_TAX_SIMS
+    trials sampled evenly across sorted wealth, monotone-interpolated for
+    the rest. With ``exact_all=True``, every trial is taxed exactly via the
+    vectorized (trial, year) device engine (letf_tpu.tax.vectorized) — the
+    capability the reference could not afford."""
     wealth = _wealth(results)
     n = len(results)
+
+    if exact_all and all(r.get("Trade_List") is not None for r in results):
+        import jax.numpy as jnp
+
+        from letf_tpu.income import simulate_wired_income_path
+        from letf_tpu.tax.vectorized import (
+            total_tax_all_trials,
+            yearly_activity_from_trades,
+        )
+
+        elections = TaxpayerElections()
+        yearly = np.stack([
+            yearly_activity_from_trades(r["Trade_List"], time_horizon,
+                                        elections) for r in results])
+        trades_per_year = np.array(
+            [len(r["Trade_List"]) / time_horizon for r in results])
+        income_path = simulate_wired_income_path(
+            tax_config.get("ordinary_income", 150000), time_horizon,
+            years_until_retirement=tax_config.get("years_until_retirement"),
+            retirement_income=tax_config.get("retirement_income"), seed=42)
+        out = total_tax_all_trials(
+            jnp.asarray(yearly), jnp.asarray(income_path),
+            cfg.INITIAL_CAPITAL, jnp.asarray(trades_per_year),
+            filing_status=tax_config.get("filing_status", "single").lower(),
+            state_code=tax_config.get("state", "CA"))
+        return np.asarray(out["total_tax"])
     order = np.argsort(wealth)
     if n <= MAX_TAX_SIMS:
         sample = list(range(n))
@@ -191,7 +222,8 @@ def _tax_all_trials(results: List[Dict], time_horizon: int, tax_config: Dict,
 
 def create_summary_statistics(mc_results: Dict[str, List[Dict]],
                               time_horizon: int,
-                              tax_config: Optional[Dict] = None) -> Dict:
+                              tax_config: Optional[Dict] = None,
+                              exact_tax_all_trials: bool = False) -> Dict:
     """Percentile-fan report: Roth (pre-tax) + taxable (post-tax) tables.
 
     Returns the computed summary data (a capability the reference lacks —
@@ -275,7 +307,8 @@ def create_summary_statistics(mc_results: Dict[str, List[Dict]],
     # SPY post-tax cache reused for every taxable win-rate comparison.
     spy_post_tax = None
     if spy_results:
-        spy_taxes = _tax_all_trials(spy_results, horizon, tax_config, "SPY")
+        spy_taxes = _tax_all_trials(spy_results, horizon, tax_config, "SPY",
+                                    exact_all=exact_tax_all_trials)
         spy_post_tax = spy_wealth - spy_taxes
 
     tax_rows = []
@@ -286,7 +319,8 @@ def create_summary_statistics(mc_results: Dict[str, List[Dict]],
         wealth = _wealth(results)
         if not len(wealth):
             continue
-        taxes = _tax_all_trials(results, horizon, tax_config, sid)
+        taxes = _tax_all_trials(results, horizon, tax_config, sid,
+                                exact_all=exact_tax_all_trials)
         post = wealth - taxes
 
         pcts = {}

@@ -18,6 +18,8 @@ import dataclasses
 from collections import defaultdict
 from typing import Dict, List
 
+import numpy as np
+
 
 @dataclasses.dataclass
 class WashSaleLot:
@@ -98,63 +100,64 @@ class WashSaleTracker:
             buys = [t for t in ordered if t["action"] == "BUY"]
             sells = [t for t in ordered if t["action"] == "SELL"]
 
-            used_buys: set = set()
+            buy_days = np.array([b["day"] for b in buys], dtype=np.int64)
+            unused = np.ones(len(buys), dtype=bool)   # one-use replacements
 
-            # Live FIFO lots consumed as sells are processed in day order.
-            lots = [{"day": b["day"], "shares": b["shares"], "price": b["price"],
-                     "original_day": b["day"]} for b in buys]
+            # The reference consumes FIFO lots against a PRISTINE copy for
+            # every sell (wash_sale.py:209 copies, the live list is never
+            # mutated) — so each sell's cost basis is a prefix of the
+            # original lots, computable from cumulative sums in O(log n)
+            # instead of the reference's O(sells * lots) rebuild.
+            live = [(b["day"], b["shares"], b["price"]) for b in buys
+                    if b["shares"] > 0.001]
+            lot_days = np.array([d for d, _, _ in live], dtype=np.int64)
+            lot_sh = np.array([s for _, s, _ in live])
+            lot_px = np.array([p for _, _, p in live])
+            cum_sh = np.concatenate([[0.0], np.cumsum(lot_sh)])
+            cum_cost = np.concatenate([[0.0], np.cumsum(lot_sh * lot_px)])
 
             for sell in sells:
                 sell_day = sell["day"]
                 sell_shares = sell["shares"]
                 proceeds = sell_shares * sell["price"]
 
-                # FIFO consumption against a working copy (the reference
-                # recomputes against pristine lots for every sell —
-                # wash_sale.py:209 copies — so repeated sells re-consume from
-                # the same lot state; we reproduce that exact behavior).
-                remaining = sell_shares
-                cost_basis = 0.0
-                consumed = []
-                work = [dict(l) for l in lots]
-                li = 0
-                while remaining > 0.001 and li < len(work):
-                    lot = work[li]
-                    if lot["shares"] <= 0.001:
-                        li += 1
-                        continue
-                    take = min(remaining, lot["shares"])
-                    cost_basis += take * lot["price"]
-                    consumed.append({
-                        "lot_idx": li, "shares": take,
-                        "buy_day": lot["day"],
-                        "original_day": lot["original_day"],
-                    })
-                    lot["shares"] -= take
-                    remaining -= take
-                    if lot["shares"] <= 0.001:
-                        li += 1
+                if len(live) == 0:
+                    consumed = []
+                    cost_basis = 0.0
+                else:
+                    take_total = min(sell_shares, float(cum_sh[-1]))
+                    # Last lot index touched (consumption stops once less
+                    # than the reference's 0.001-share dust remains).
+                    k = int(np.searchsorted(cum_sh[1:], take_total - 0.001,
+                                            side="right"))
+                    k = min(k, len(live) - 1)
+                    cost_basis = float(cum_cost[k]) + (
+                        take_total - float(cum_sh[k])) * float(lot_px[k])
+                    consumed = [{"buy_day": int(lot_days[0]),
+                                 "original_day": int(lot_days[0])}]
 
                 gain_loss = proceeds - cost_basis
                 if gain_loss >= 0:
                     continue
                 loss_amount = -gain_loss
 
-                # Any unused buy within the ±30 day window (not the sale day)?
-                candidates = [
-                    (i, b) for i, b in enumerate(buys)
-                    if abs(b["day"] - sell_day) <= _WINDOW
-                    and b["day"] != sell_day and i not in used_buys
-                ]
-
-                if not candidates:
+                # Any unused buy within the ±30 day window (not the sale
+                # day)? Vectorized nearest-match: distances over all buy
+                # days at once instead of a Python scan (the O(sells*buys)
+                # hot loop of the reference).
+                dist = np.abs(buy_days - sell_day)
+                eligible = (dist <= _WINDOW) & (buy_days != sell_day) & unused
+                if not eligible.any():
                     self.allowed_losses[asset] += loss_amount
                     continue
 
                 # Nearest replacement buy wins (IRS does not specify; the
-                # reference uses nearest — wash_sale.py:263-266).
-                candidates.sort(key=lambda ib: abs(ib[1]["day"] - sell_day))
-                rep_idx, rep_buy = candidates[0]
+                # reference uses nearest — wash_sale.py:263-266). Stable
+                # argmin keeps the earliest of equidistant buys, matching
+                # Python's stable sort.
+                masked = np.where(eligible, dist, _WINDOW + 1)
+                rep_idx = int(np.argmin(masked))
+                rep_buy = buys[rep_idx]
 
                 rep_shares = rep_buy["shares"]
                 if rep_shares >= sell_shares:
@@ -174,7 +177,7 @@ class WashSaleTracker:
                             if consumed else sell_day)
                 self.holding_period_adjustments[asset][rep_buy["day"]] = earliest
                 self.tacked_shares[asset][rep_buy["day"]] += shares_affected
-                used_buys.add(rep_idx)
+                unused[rep_idx] = False
 
                 sale_year = self._day_to_tax_year(sell_day)
                 rep_year = self._day_to_tax_year(rep_buy["day"])
