@@ -58,7 +58,7 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
                    apply_costs: bool = True, emit_trades: bool = False,
                    moment_matching: bool = True,
                    engine_mode: str = "institutional_v1",
-                   bootstrap_pools=None):
+                   bootstrap_pools=None, cashflows=None):
     """One fused chunk: paths -> signals -> strategies -> summaries."""
     fn = functools.partial(
         generate_path, sim_days=sim_days, buffer_days=buffer_days,
@@ -69,7 +69,7 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
         trial_ids, antithetic)
     sig = compute_signals(path)
     res = run_strategies_batch(path, sig, apply_costs=apply_costs,
-                               emit_trades=emit_trades)
+                               emit_trades=emit_trades, cashflows=cashflows)
     regime_high = jnp.sum(path.regime == 1, axis=1).astype(jnp.int32)
     summaries = dict(
         final_wealth=res.final_wealth, num_trades=res.num_trades,
@@ -140,6 +140,7 @@ def run_monte_carlo(
     progress: bool = True,
     engine_mode: Optional[str] = None,
     bootstrap_pools=None,
+    cashflows=None,
 ) -> MCArrays:
     """Run N trials of `time_horizon` years through the full engine.
 
@@ -199,7 +200,7 @@ def run_monte_carlo(
                 model, key, ids_c, anti_c, sim_days, buffer_days,
                 random_start_method=random_start_method,
                 apply_costs=apply_costs, engine_mode=engine_mode,
-                bootstrap_pools=bootstrap_pools)
+                bootstrap_pools=bootstrap_pools, cashflows=cashflows)
         for k, v in summaries.items():
             outs.setdefault(k, []).append(np.asarray(v)[:n_here])
         n_done += n_here

@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from letf_tpu import config as cfg
@@ -82,11 +83,40 @@ def _vol_family_step(alloc, prev_alloc, r_asset, cash, apply_costs,
     return ret, traded, alloc
 
 
+def dca_schedule(sim_days: int, monthly_amount: float,
+                 start_day: int = 0) -> np.ndarray:
+    """Dollar-cost-averaging contributions: +amount every 21 trading days."""
+    cf = np.zeros(sim_days)
+    cf[start_day::21] = monthly_amount
+    if start_day == 0:
+        cf[0] = 0.0   # day 0 is the initial-capital day
+    return cf
+
+
+def withdrawal_schedule(sim_days: int, annual_amount: float,
+                        monthly: bool = True) -> np.ndarray:
+    """Retirement withdrawals: -amount/12 monthly (or -amount yearly)."""
+    cf = np.zeros(sim_days)
+    if monthly:
+        cf[21::21] = -annual_amount / 12.0
+    else:
+        cf[252::252] = -annual_amount
+    return cf
+
+
 @functools.partial(jax.jit, static_argnames=("apply_costs", "emit_trades"))
 def run_strategies_batch(path: PathOutputs, sig: SignalSet,
                          apply_costs: bool = True,
-                         emit_trades: bool = False) -> StrategyResults:
-    """Run S1-S19 over a path batch. path/sig arrays are [B, S, ...]."""
+                         emit_trades: bool = False,
+                         cashflows=None) -> StrategyResults:
+    """Run S1-S19 over a path batch. path/sig arrays are [B, S, ...].
+
+    ``cashflows``: optional [S] per-day dollar flows (positive =
+    contribution, negative = withdrawal) applied to every strategy's
+    equity after the day's return — the DCA / retirement-withdrawal
+    overlays of BASELINE configs #4/#5 (a capability beyond the
+    reference). Equity is floored at zero (ruin absorbs).
+    """
     B, S, A = path.etf_ret.shape
     dt = path.etf_ret.dtype
 
@@ -150,6 +180,8 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         # S7 reads its vol signal UNshifted (strategy.py:255,261):
         "std20_mp20_cur": sigs["std20_mp20"],
         "t": jnp.arange(S, dtype=jnp.int32),
+        "cashflow": (jnp.zeros(S, dt) if cashflows is None
+                     else jnp.asarray(cashflows, dt)),
     }
 
     s6_weights = jnp.asarray([0.6, 0.4], dt)
@@ -482,6 +514,14 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         # S6 equity computed from positions, not a return.
         equity_new = equity_new.at[:, 5].set(equity6)
 
+        # Cashflow overlay (DCA contributions / withdrawals), floored at 0;
+        # S6 positions scale proportionally so weights are preserved.
+        cf = x["cashflow"]
+        equity_cf = jnp.maximum(equity_new + cf, 0.0)
+        s6_scale = equity_cf[:, 5] / jnp.maximum(equity_new[:, 5], 1e-30)
+        s6_pos_new = s6_pos_new * s6_scale[:, None]
+        equity_new = equity_cf
+
         traded_all = jnp.stack(traded, axis=-1) & (~first)
         inc = traded_all.astype(jnp.int32)
         inc = inc.at[:, 5].set(inc[:, 5] * 2)          # S6 counts 2 per rebalance
@@ -537,8 +577,8 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
 
 
 def run_all(path: PathOutputs, apply_costs: bool = True,
-            emit_trades: bool = False) -> StrategyResults:
+            emit_trades: bool = False, cashflows=None) -> StrategyResults:
     """Convenience: compute signals then run the batched strategy scan."""
     sig = compute_signals(path)
     return run_strategies_batch(path, sig, apply_costs=apply_costs,
-                                emit_trades=emit_trades)
+                                emit_trades=emit_trades, cashflows=cashflows)

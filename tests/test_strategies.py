@@ -147,3 +147,36 @@ def test_apply_costs_false_increases_wealth(batch):
     # High-turnover strategies must be strictly cheaper with costs on.
     s7 = cfg.STRATEGY_INDEX["S7"]
     assert bool(jnp.all(res_nc.final_wealth[:, s7] > res_c.final_wealth[:, s7]))
+
+
+# ---------------------------------------------------------------------------
+# Cashflow overlays (DCA / withdrawals)
+# ---------------------------------------------------------------------------
+
+def test_dca_and_withdrawal_overlays(batch):
+    import numpy as np
+    from letf_tpu.strategies.engine import (
+        dca_schedule, run_all, withdrawal_schedule)
+
+    path, base = batch
+    S = path.etf_ret.shape[1]
+    dca = run_all(path, cashflows=dca_schedule(S, 500.0))
+    wd = run_all(path, cashflows=withdrawal_schedule(S, 6000.0))
+
+    # Contributions strictly raise final wealth; withdrawals strictly lower
+    # (no strategy hits the zero floor on these paths).
+    assert bool(jnp.all(dca.final_wealth > base.final_wealth))
+    assert bool(jnp.all(wd.final_wealth <= base.final_wealth))
+    assert bool(jnp.all(wd.final_wealth >= 0.0))
+
+
+def test_withdrawal_ruin_floors_at_zero(batch):
+    from letf_tpu.strategies.engine import run_all, withdrawal_schedule
+
+    path, _ = batch
+    S = path.etf_ret.shape[1]
+    # Absurd withdrawal rate forces ruin; equity must floor at 0, not go
+    # negative.
+    wd = run_all(path, cashflows=withdrawal_schedule(S, 1e6))
+    assert bool(jnp.all(wd.final_wealth >= 0.0))
+    assert bool(jnp.any(wd.final_wealth == 0.0))
