@@ -370,8 +370,18 @@ def draw_innovations(model: SimModel, run_key, trial_id, antithetic,
     sign = jnp.where(antithetic, -1.0, 1.0)
     eps = sign * jax.random.normal(rngs.stream(tk, rngs.JOINT_EPS),
                                    (total_days, 3))
-    nu_t = jnp.asarray(model.joint.nu)[regime_full]
-    u_chi = 2.0 * jax.random.gamma(rngs.stream(tk, rngs.JOINT_CHI), nu_t / 2.0)
+    # Chi-square(nu_r) mixing draws: one scalar-shape gamma sampler per
+    # regime, selected by the regime path. Distributionally identical to a
+    # per-day varying-shape sampler but compiles a far smaller rejection
+    # loop (the varying-shape version crashes the TPU remote-compile
+    # service at large batch sizes).
+    k_chi = rngs.stream(tk, rngs.JOINT_CHI)
+    nus = jnp.asarray(model.joint.nu)
+    chis = jnp.stack([
+        2.0 * jax.random.gamma(jax.random.fold_in(k_chi, r), nus[r] / 2.0,
+                               (total_days,))
+        for r in range(nus.shape[0])])
+    u_chi = chis[regime_full, jnp.arange(total_days)]
     vix_noise = jax.random.normal(rngs.stream(tk, rngs.VIX_NOISE), (total_days,))
     irx_noise = jax.random.normal(rngs.stream(tk, rngs.IRX_NOISE), (total_days,))
 
@@ -383,9 +393,19 @@ def draw_innovations(model: SimModel, run_key, trial_id, antithetic,
     t_abs = jnp.abs(jax.random.t(kj_t, 5.0, (sim_days,)))
     jump_sign = jnp.where(jax.random.uniform(kj_s, (sim_days,)) < 0.5, -1.0, 1.0)
 
-    te_draws = jax.random.t(
-        rngs.stream(tk, rngs.TRACKING),
-        jnp.asarray(model.tracking.te_df)[None, :], (sim_days, _A))
+    # Tracking-error t draws: per-asset df comes from the static asset
+    # config (5 for LETFs, 10 for 1x funds), so sample once per distinct df
+    # with a STATIC scalar shape parameter — varying-shape samplers bloat
+    # the compiled rejection loop.
+    k_te = rngs.stream(tk, rngs.TRACKING)
+    static_dfs = cfg.asset_table().te_df
+    te_cols = []
+    for df_val in sorted(set(static_dfs.tolist())):
+        cols = [a for a in range(_A) if static_dfs[a] == df_val]
+        draws = jax.random.t(jax.random.fold_in(k_te, int(df_val)),
+                             float(df_val), (sim_days, len(cols)))
+        te_cols.extend(zip(cols, jnp.moveaxis(draws, 1, 0)))
+    te_draws = jnp.stack([c for _, c in sorted(te_cols)], axis=1)
 
     return Innovations(
         start_offset=start_offset, start_regime=start_regime,

@@ -60,13 +60,23 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
                    engine_mode: str = "institutional_v1",
                    bootstrap_pools=None, cashflows=None):
     """One fused chunk: paths -> signals -> strategies -> summaries."""
-    fn = functools.partial(
-        generate_path, sim_days=sim_days, buffer_days=buffer_days,
-        random_start_method=random_start_method,
-        moment_matching=moment_matching, engine_mode=engine_mode)
-    path = jax.vmap(lambda t, a: fn(model, run_key, t, a,
-                                    bootstrap_pools=bootstrap_pools))(
-        trial_ids, antithetic)
+    if engine_mode == "institutional_v1":
+        # Lane-packed batched engine: state as [B] components, ~10x the
+        # throughput of the vmapped per-trial formulation on TPU.
+        from letf_tpu.ops.path_batched import generate_paths_batched
+
+        path = generate_paths_batched(
+            model, run_key, trial_ids, antithetic, sim_days=sim_days,
+            buffer_days=buffer_days, random_start_method=random_start_method,
+            moment_matching=moment_matching)
+    else:
+        fn = functools.partial(
+            generate_path, sim_days=sim_days, buffer_days=buffer_days,
+            random_start_method=random_start_method,
+            moment_matching=moment_matching, engine_mode=engine_mode)
+        path = jax.vmap(lambda t, a: fn(model, run_key, t, a,
+                                        bootstrap_pools=bootstrap_pools))(
+            trial_ids, antithetic)
     sig = compute_signals(path)
     res = run_strategies_batch(path, sig, apply_costs=apply_costs,
                                emit_trades=emit_trades, cashflows=cashflows)

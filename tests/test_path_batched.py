@@ -1,0 +1,103 @@
+"""Lane-packed batched engine: equivalence with the per-trial engine and
+distributional correctness of the fast samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from letf_tpu.models.params import build_dwell_tables, default_sim_model
+from letf_tpu.ops import rng as rngs
+from letf_tpu.ops.path_batched import (
+    draw_innovations_batched,
+    generate_paths_batched,
+    path_from_innovations_batched,
+    simulate_regime_paths_spell,
+    t_int_df,
+)
+from letf_tpu.ops.path_engine import generate_paths_batch, simulate_regime_path
+
+
+@pytest.fixture(scope="module")
+def model():
+    return default_sim_model()
+
+
+def test_batched_equals_vmapped_per_trial(model):
+    """With identical innovations (fast_draws=False), the lane-packed
+    engine must reproduce the per-trial vmapped engine."""
+    B, S = 8, 252
+    ids = jnp.arange(B, dtype=jnp.int32) // 2
+    anti = (jnp.arange(B) % 2).astype(bool)
+    a = generate_paths_batch(model, jax.random.key(0), ids, anti,
+                             sim_days=S, buffer_days=126)
+    b = jax.jit(generate_paths_batched,
+                static_argnames=("sim_days", "buffer_days",
+                                 "random_start_method", "fast_draws"))(
+        model, jax.random.key(0), ids, anti, sim_days=S, buffer_days=126,
+        fast_draws=False)
+    np.testing.assert_allclose(np.asarray(a.etf_ret), np.asarray(b.etf_ret),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(a.vix), np.asarray(b.vix),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(a.regime), np.asarray(b.regime))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+
+def test_fast_draws_distribution(model):
+    """fast_draws paths are statistically indistinguishable from the
+    reference-stream paths (different bits, same distributions)."""
+    B, S = 128, 504
+    ids = jnp.arange(B, dtype=jnp.int32)
+    anti = jnp.zeros(B, bool)
+    f = jax.jit(generate_paths_batched,
+                static_argnames=("sim_days", "buffer_days",
+                                 "random_start_method", "fast_draws"))
+    fast = f(model, jax.random.key(1), ids, anti, sim_days=S,
+             buffer_days=252, fast_draws=True)
+    ref = f(model, jax.random.key(1), ids, anti, sim_days=S,
+            buffer_days=252, fast_draws=False)
+    for name in ("spy_ret", "tlt_ret"):
+        a = np.asarray(getattr(fast, name)).ravel()
+        b = np.asarray(getattr(ref, name)).ravel()
+        se = b.std() / np.sqrt(len(b))
+        assert abs(a.mean() - b.mean()) < 6 * se, name
+        # Wide tolerance: returns are GARCH-mixed Student-t, and the two
+        # modes consume uniforms differently, so regime occupancy (and
+        # hence realized vol) differs by spell-level sampling noise — the
+        # effective sample is ~hundreds of regime spells, not B*S days.
+        assert a.std() == pytest.approx(b.std(), rel=0.2), name
+    assert np.asarray(fast.vix).mean() == pytest.approx(
+        np.asarray(ref.vix).mean(), rel=0.15)
+
+
+def test_t_int_df_moments():
+    """Fast integer-df t sampler: variance df/(df-2), symmetric."""
+    x = np.asarray(t_int_df(jax.random.key(0), 5, (200_000,)))
+    assert x.mean() == pytest.approx(0.0, abs=0.02)
+    assert x.var() == pytest.approx(5 / 3, rel=0.05)
+    x10 = np.asarray(t_int_df(jax.random.key(1), 10, (200_000,)))
+    assert x10.var() == pytest.approx(10 / 8, rel=0.05)
+
+
+def test_spell_regime_paths_match_scan_distribution(model):
+    """Spell-based regime paths: same dwell distribution and occupancy as
+    the scan engine (different uniform consumption, so not bit-equal)."""
+    rng = np.random.default_rng(0)
+    ds = {0: list(rng.integers(20, 700, 500)),
+          1: list(rng.integers(5, 80, 300))}
+    dv, dc, hd = build_dwell_tables(ds)
+    m = model._replace(regime=model.regime._replace(
+        dwell_values=dv, dwell_cdf=dc, has_dwell=hd))
+
+    B, T = 128, 2500
+    keys = jax.vmap(lambda t: rngs.stream(
+        rngs.trial_key(jax.random.key(5), t), rngs.REGIME))(jnp.arange(B))
+    start = jnp.zeros(B, jnp.int32)
+    sp = np.asarray(simulate_regime_paths_spell(m, keys, start, T))
+    sc = np.stack([np.asarray(simulate_regime_path(m, keys[b], jnp.int32(0), T))
+                   for b in range(16)])
+    assert abs(float((sp == 1).mean()) - float((sc == 1).mean())) < 0.03
+    # Regime values are only 0/1 and paths start in regime 0.
+    assert set(np.unique(sp)) <= {0, 1}
+    assert (sp[:, 0] == 0).all()
