@@ -226,7 +226,8 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
 
 def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
                           sim_days: int, buffer_days: int = 0,
-                          random_start_method: str = "offset") -> Innovations:
+                          random_start_method: str = "offset",
+                          anchors=None) -> Innovations:
     """Production innovation draws: same streams-per-(trial, purpose)
     discipline and identical distributions, using the fast samplers and the
     batched regime scan. Antithetic pairs still share trial keys and negate
@@ -250,12 +251,19 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
         start_offset = jax.vmap(
             lambda k: jax.random.randint(k, (), min_offset, buffer_days))(k_off)
         start_regime = jnp.zeros((B,), jnp.int32)
-    elif random_start_method == "regime_only":
+    elif random_start_method == "regime_only" or (
+            random_start_method == "historical_anchor" and anchors is None):
         start_offset = jnp.zeros((B,), jnp.int32)
         probs = jnp.asarray(model.regime.start_probs)
         uu = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_reg)
         start_regime = jnp.sum(jnp.cumsum(probs / probs.sum())[None, :]
                                < uu[:, None], axis=1).astype(jnp.int32)
+    elif random_start_method == "historical_anchor":
+        anchor_regimes, anchor_vix_arr = anchors
+        idx = jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, anchor_regimes.shape[0]))(k_reg)
+        start_offset = jnp.zeros((B,), jnp.int32)
+        start_regime = jnp.asarray(anchor_regimes)[idx].astype(jnp.int32)
     else:
         start_offset = jnp.zeros((B,), jnp.int32)
         start_regime = jnp.zeros((B,), jnp.int32)
@@ -264,6 +272,8 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
     hi = vr[start_regime, 1]
     u0 = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_vix0)
     initial_vix = lo + u0 * (hi - lo)
+    if random_start_method == "historical_anchor" and anchors is not None:
+        initial_vix = jnp.asarray(anchors[1])[idx]
 
     regime_full = simulate_regime_paths_spell(
         model, streams(rngs.REGIME), start_regime, total_days)
@@ -662,14 +672,20 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
                            moment_matching: bool = True,
                            use_funding_model: bool = True,
                            use_stress: bool = True,
-                           fast_draws: bool = True) -> PathOutputs:
+                           fast_draws: bool = True,
+                           anchors=None) -> PathOutputs:
     """Lane-packed batch path generation (institutional_v1 mode).
 
     fast_draws=True uses the cheap exact samplers (distribution-equivalent
     streams); False reproduces the per-trial engine's draws bit-for-bit."""
-    draw = draw_innovations_fast if fast_draws else draw_innovations_batched
-    innov = draw(model, run_key, trial_ids, antithetic,
-                 sim_days, buffer_days, random_start_method)
+    if fast_draws:
+        innov = draw_innovations_fast(model, run_key, trial_ids, antithetic,
+                                      sim_days, buffer_days,
+                                      random_start_method, anchors=anchors)
+    else:
+        innov = draw_innovations_batched(model, run_key, trial_ids,
+                                         antithetic, sim_days, buffer_days,
+                                         random_start_method)
     return path_from_innovations_batched(
         model, innov, sim_days, moment_matching=moment_matching,
         use_funding_model=use_funding_model, use_stress=use_stress)

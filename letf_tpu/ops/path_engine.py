@@ -338,8 +338,14 @@ def _to_device(model: SimModel) -> SimModel:
 
 def draw_innovations(model: SimModel, run_key, trial_id, antithetic,
                      sim_days: int, buffer_days: int = 0,
-                     random_start_method: str = "offset") -> Innovations:
-    """Draw every random input for one trial from its counter-based streams."""
+                     random_start_method: str = "offset",
+                     anchors=None) -> Innovations:
+    """Draw every random input for one trial from its counter-based streams.
+
+    ``anchors``: optional (regimes [K] int32, vix [K]) arrays of historical
+    anchor conditions for the 'historical_anchor' start method
+    (random_start.py:60-129: regime from the anchor day's VIX threshold,
+    initial VIX from the anchor row)."""
     model = _to_device(model)
     total_days = sim_days + buffer_days
     tk = rngs.trial_key(run_key, trial_id)
@@ -347,22 +353,36 @@ def draw_innovations(model: SimModel, run_key, trial_id, antithetic,
     # ---- random start conditions (random_start.py:132-209) ----
     kstart = rngs.stream(tk, rngs.START)
     k_off, k_reg, k_vix0 = jax.random.split(kstart, 3)
+    anchor_vix = None
     if random_start_method == "offset" and buffer_days > 0:
         min_offset = min(50, buffer_days // 4)
         start_offset = jax.random.randint(k_off, (), min_offset, buffer_days)
         start_regime = jnp.int32(0)
-    elif random_start_method == "regime_only":
+    elif random_start_method == "regime_only" or (
+            random_start_method == "historical_anchor" and anchors is None):
+        # historical_anchor falls back to regime_only without anchor data
+        # (random_start.py:199-201).
         start_offset = jnp.int32(0)
         probs = jnp.asarray(model.regime.start_probs)
         start_regime = jnp.sum(
             jnp.cumsum(probs / probs.sum())
             < jax.random.uniform(k_reg, ())).astype(jnp.int32)
+    elif random_start_method == "historical_anchor":
+        anchor_regimes, anchor_vix_arr = anchors
+        idx = jax.random.randint(k_reg, (), 0, anchor_regimes.shape[0])
+        start_offset = jnp.int32(0)
+        start_regime = jnp.asarray(anchor_regimes)[idx].astype(jnp.int32)
+        anchor_vix = jnp.asarray(anchor_vix_arr)[idx]
     else:
         start_offset = jnp.int32(0)
         start_regime = jnp.int32(0)
     vr = jnp.asarray([cfg.INITIAL_VIX_RANGE[r] for r in range(cfg.N_REGIMES)])
     lo, hi = vr[start_regime, 0], vr[start_regime, 1]
     initial_vix = jax.random.uniform(k_vix0, (), minval=lo, maxval=hi)
+    if anchor_vix is not None:
+        # Anchored starts use the historical VIX level, not a random draw
+        # (random_start.py:204: RANDOMIZE_INITIAL_VIX skipped for anchors).
+        initial_vix = anchor_vix
 
     regime_full = simulate_regime_path(
         model, rngs.stream(tk, rngs.REGIME), start_regime, total_days)
@@ -590,7 +610,7 @@ def generate_path(model: SimModel, run_key, trial_id, antithetic,
                   use_funding_model: bool = True,
                   use_stress: bool = True,
                   engine_mode: str = "institutional_v1",
-                  bootstrap_pools=None) -> PathOutputs:
+                  bootstrap_pools=None, anchors=None) -> PathOutputs:
     """One Monte Carlo trial (jit; vmap over trial_id/antithetic for batches).
 
     Mirrors simulate_single_path_fixed (engine.py:423-619) stage by stage;
@@ -600,7 +620,8 @@ def generate_path(model: SimModel, run_key, trial_id, antithetic,
     requires bootstrap_pools), or 'parametric' (regime Student-t fallback).
     """
     innov = draw_innovations(model, run_key, trial_id, antithetic,
-                             sim_days, buffer_days, random_start_method)
+                             sim_days, buffer_days, random_start_method,
+                             anchors=anchors)
     return path_from_innovations(
         model, innov, sim_days, moment_matching=moment_matching,
         use_funding_model=use_funding_model, use_stress=use_stress,

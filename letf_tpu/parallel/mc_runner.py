@@ -58,24 +58,25 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
                    apply_costs: bool = True, emit_trades: bool = False,
                    moment_matching: bool = True,
                    engine_mode: str = "institutional_v1",
-                   bootstrap_pools=None, cashflows=None):
+                   bootstrap_pools=None, cashflows=None, anchors=None):
     """One fused chunk: paths -> signals -> strategies -> summaries."""
     if engine_mode == "institutional_v1":
-        # Lane-packed batched engine: state as [B] components, ~10x the
-        # throughput of the vmapped per-trial formulation on TPU.
+        # Lane-packed batched engine: state as [B] components — the
+        # production formulation (see ops/path_batched.py).
         from letf_tpu.ops.path_batched import generate_paths_batched
 
         path = generate_paths_batched(
             model, run_key, trial_ids, antithetic, sim_days=sim_days,
             buffer_days=buffer_days, random_start_method=random_start_method,
-            moment_matching=moment_matching)
+            moment_matching=moment_matching, anchors=anchors)
     else:
         fn = functools.partial(
             generate_path, sim_days=sim_days, buffer_days=buffer_days,
             random_start_method=random_start_method,
             moment_matching=moment_matching, engine_mode=engine_mode)
         path = jax.vmap(lambda t, a: fn(model, run_key, t, a,
-                                        bootstrap_pools=bootstrap_pools))(
+                                        bootstrap_pools=bootstrap_pools,
+                                        anchors=anchors))(
             trial_ids, antithetic)
     sig = compute_signals(path)
     res = run_strategies_batch(path, sig, apply_costs=apply_costs,
@@ -126,6 +127,24 @@ def _sharded_chunk(mesh, sim_days: int, buffer_days: int,
     return jax.jit(f)
 
 
+def build_anchor_conditions(df, min_history_years: float | None = None):
+    """Historical anchor pool for the 'historical_anchor' start method
+    (random_start.py:60-129): valid anchor days exclude the first
+    min_history years and the last year; regime from the anchor day's VIX
+    (< 25 -> low vol), initial VIX from the anchor row."""
+    import numpy as np
+
+    if min_history_years is None:
+        min_history_years = cfg.MIN_HISTORY_FOR_ANCHOR
+    min_days = int(min_history_years * 252)
+    n = len(df)
+    if n - 252 <= min_days:
+        return None
+    vix = df["VIX"].to_numpy(float)[min_days:n - 252]
+    regimes = (vix >= 25.0).astype(np.int32)
+    return (jnp.asarray(regimes), jnp.asarray(vix, jnp.float32))
+
+
 def _trial_layout(num_simulations: int, use_antithetic: bool):
     """Reference pairing: even trials draw, odd trials negate, both share a
     base id; the list is trimmed to the requested count."""
@@ -151,6 +170,7 @@ def run_monte_carlo(
     engine_mode: Optional[str] = None,
     bootstrap_pools=None,
     cashflows=None,
+    anchors=None,
 ) -> MCArrays:
     """Run N trials of `time_horizon` years through the full engine.
 
@@ -210,7 +230,8 @@ def run_monte_carlo(
                 model, key, ids_c, anti_c, sim_days, buffer_days,
                 random_start_method=random_start_method,
                 apply_costs=apply_costs, engine_mode=engine_mode,
-                bootstrap_pools=bootstrap_pools, cashflows=cashflows)
+                bootstrap_pools=bootstrap_pools, cashflows=cashflows,
+                anchors=anchors)
         for k, v in summaries.items():
             outs.setdefault(k, []).append(np.asarray(v)[:n_here])
         n_done += n_here
@@ -303,9 +324,16 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
         from letf_tpu.models.bootstrap import create_bootstrap_sampler
         bootstrap_pools = create_bootstrap_sampler(historical_df)
 
+    anchors = None
+    if (cfg.USE_RANDOM_START
+            and cfg.RANDOM_START_METHOD == "historical_anchor"
+            and historical_df is not None):
+        anchors = build_anchor_conditions(historical_df)
+
     arrays = run_monte_carlo(model, time_horizon,
                              num_simulations=num_simulations, seed=seed,
-                             bootstrap_pools=bootstrap_pools)
+                             bootstrap_pools=bootstrap_pools,
+                             anchors=anchors)
 
     want_trades = (num_simulations <= trade_list_limit
                    and any(s in cfg.TAXABLE_IDS for s in strategy_ids))
