@@ -44,7 +44,10 @@ def _bits_to_unit(bits):
 
 def _gbm_kernel(seed_ref, out_w_ref, out_mdd_ref, *, n_days: int,
                 mu: float, sigma: float, leverage: float, daily_cost: float):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # Seed with (seed, tile) as separate words: adjacent seeds must get
+    # disjoint streams for every tile (seed s tile i must NOT equal seed
+    # s+1 tile i-1, which an additive seed would produce).
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (_TILE_ROWS, _TILE_COLS)
     n_pairs = (n_days + 1) // 2

@@ -38,12 +38,14 @@ _A = cfg.N_ASSETS
 
 def draw_innovations_batched(model: SimModel, run_key, trial_ids, antithetic,
                              sim_days: int, buffer_days: int = 0,
-                             random_start_method: str = "offset") -> Innovations:
+                             random_start_method: str = "offset",
+                             anchors=None) -> Innovations:
     """vmap of the per-trial innovation draws: identical streams, [B, ...]
     leaves."""
     fn = functools.partial(draw_innovations, sim_days=sim_days,
                            buffer_days=buffer_days,
-                           random_start_method=random_start_method)
+                           random_start_method=random_start_method,
+                           anchors=anchors)
     return jax.vmap(lambda t, a: fn(model, run_key, t, a))(trial_ids, antithetic)
 
 
@@ -685,7 +687,7 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
     else:
         innov = draw_innovations_batched(model, run_key, trial_ids,
                                          antithetic, sim_days, buffer_days,
-                                         random_start_method)
+                                         random_start_method, anchors=anchors)
     return path_from_innovations_batched(
         model, innov, sim_days, moment_matching=moment_matching,
         use_funding_model=use_funding_model, use_stress=use_stress)

@@ -110,19 +110,24 @@ def _sharded_chunk(mesh, sim_days: int, buffer_days: int,
     gather)."""
     from jax.sharding import PartitionSpec as P
 
-    def local(model, run_key, trial_ids, antithetic, pools):
+    def local(model, run_key, trial_ids, antithetic, pools, cashflows,
+              anchors):
         summaries, _ = _mc_chunk_body(
             model, run_key, trial_ids, antithetic, sim_days, buffer_days,
             random_start_method=random_start_method, apply_costs=apply_costs,
             emit_trades=False, moment_matching=moment_matching,
-            engine_mode=engine_mode, bootstrap_pools=pools)
+            engine_mode=engine_mode, bootstrap_pools=pools,
+            cashflows=cashflows, anchors=anchors)
         return summaries
 
     # check_vma=False: scan carries start replicated (e.g. start_regime=0)
     # and become trial-varying inside; the strict varying-axis checker would
     # demand explicit pcasts at every such seam.
+    # Pools, cashflow schedules, and anchor tables are replicated (P()):
+    # every device reads the same small tables; only the trial axis shards.
     f = jax.shard_map(local, mesh=mesh,
-                      in_specs=(P(), P(), P("trials"), P("trials"), P()),
+                      in_specs=(P(), P(), P("trials"), P("trials"), P(), P(),
+                                P()),
                       out_specs=P("trials"), check_vma=False)
     return jax.jit(f)
 
@@ -222,7 +227,8 @@ def run_monte_carlo(
         if chunk_fn is not None:
             ids_c = jax.device_put(jnp.asarray(ids[idx], jnp.int32), sharding)
             anti_c = jax.device_put(jnp.asarray(anti[idx]), sharding)
-            summaries = chunk_fn(model, key, ids_c, anti_c, bootstrap_pools)
+            summaries = chunk_fn(model, key, ids_c, anti_c, bootstrap_pools,
+                                 cashflows, anchors)
         else:
             ids_c = jnp.asarray(ids[idx], jnp.int32)
             anti_c = jnp.asarray(anti[idx])
@@ -247,13 +253,19 @@ def emit_trade_lists(model: SimModel | Dict, time_horizon: int,
                      use_antithetic: Optional[bool] = None,
                      random_start_method: Optional[str] = None,
                      num_simulations: Optional[int] = None,
-                     apply_costs: bool = True) -> Dict[int, Dict[str, List[Dict]]]:
+                     apply_costs: bool = True,
+                     engine_mode: Optional[str] = None,
+                     bootstrap_pools=None, cashflows=None,
+                     anchors=None) -> Dict[int, Dict[str, List[Dict]]]:
     """Re-run selected trials with journal emission and build reference-format
     trade lists: {trial_index: {sid: [trade dicts]}}.
 
     Deterministic replay: the same counter-based streams regenerate the
     identical paths, so no state needs to be checkpointed (the TPU analogue
-    of the reference attaching Trade_List to every worker result)."""
+    of the reference attaching Trade_List to every worker result). Callers
+    MUST pass the same engine_mode / bootstrap_pools / cashflows / anchors
+    the wealth run used, or the replayed trades would come from different
+    paths than the recorded Final_Wealth."""
     if not isinstance(model, SimModel):
         model = build_sim_model(model)
     if num_simulations is None:
@@ -263,6 +275,10 @@ def emit_trade_lists(model: SimModel | Dict, time_horizon: int,
     if random_start_method is None:
         random_start_method = (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
                                else "none")
+    if engine_mode is None:
+        engine_mode = cfg.SIM_ENGINE_MODE
+    if engine_mode == "legacy_hybrid" and bootstrap_pools is None:
+        engine_mode = "parametric"   # same fallback as run_monte_carlo
     sim_days = int(time_horizon * cfg.TRADING_DAYS)
     buffer_days = (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
                    if random_start_method == "offset" else 0)
@@ -274,7 +290,10 @@ def emit_trade_lists(model: SimModel | Dict, time_horizon: int,
     anti_c = jnp.asarray(anti[trial_indices])
     _, emission = _mc_chunk(model, key, ids_c, anti_c, sim_days, buffer_days,
                             random_start_method=random_start_method,
-                            apply_costs=apply_costs, emit_trades=True)
+                            apply_costs=apply_costs, emit_trades=True,
+                            engine_mode=engine_mode,
+                            bootstrap_pools=bootstrap_pools,
+                            cashflows=cashflows, anchors=anchors)
     tj_alloc, tj_value, tj_price, tj_asset = [np.asarray(e) for e in emission]
 
     out: Dict[int, Dict[str, List[Dict]]] = {}
@@ -341,7 +360,9 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
     if want_trades:
         trade_lists = emit_trade_lists(
             model, time_horizon, range(num_simulations), seed=seed,
-            num_simulations=num_simulations)
+            num_simulations=num_simulations,
+            engine_mode=cfg.SIM_ENGINE_MODE, bootstrap_pools=bootstrap_pools,
+            anchors=anchors)
 
     results: Dict[str, List[Dict]] = {sid: [] for sid in strategy_ids}
     years = float(time_horizon)

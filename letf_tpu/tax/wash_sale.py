@@ -133,8 +133,14 @@ class WashSaleTracker:
                     k = min(k, len(live) - 1)
                     cost_basis = float(cum_cost[k]) + (
                         take_total - float(cum_sh[k])) * float(lot_px[k])
-                    consumed = [{"buy_day": int(lot_days[0]),
-                                 "original_day": int(lot_days[0])}]
+                    # Record EVERY lot the sale consumes (prefix 0..k of the
+                    # pristine FIFO list): the tainted-chain lookup below
+                    # scans all consumed lots, matching the reference
+                    # (wash_sale.py:322-373) where a later consumed lot may
+                    # carry the taint.
+                    consumed = [{"buy_day": int(lot_days[j]),
+                                 "original_day": int(lot_days[j])}
+                                for j in range(k + 1)]
 
                 gain_loss = proceeds - cost_basis
                 if gain_loss >= 0:

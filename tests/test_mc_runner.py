@@ -40,6 +40,44 @@ def test_sharded_equals_single_device(model):
     np.testing.assert_allclose(multi.max_dd, single.max_dd, rtol=1e-12)
 
 
+def test_sharded_equals_single_device_with_cashflows_and_anchors(model):
+    """Sharded parity must hold WITH overlays: a DCA cashflow schedule and a
+    historical-anchor start pool must reach the per-device engine identically
+    on a multi-device mesh (regression for the round-1 bug where
+    _sharded_chunk silently dropped both)."""
+    n = 16
+    sim_days = 252
+    # Monthly $500 DCA schedule [S].
+    cash = np.zeros(sim_days, np.float64)
+    cash[::21] = 500.0
+    anchors = (jnp.asarray(np.array([0, 1, 0, 1, 1], np.int32)),
+               jnp.asarray(np.array([14.0, 33.0, 18.0, 29.0, 41.0])))
+    kw = dict(num_simulations=n, seed=7, progress=False,
+              random_start_method="historical_anchor",
+              cashflows=jnp.asarray(cash), anchors=anchors)
+    multi = run_monte_carlo(model, 1, mesh=trial_mesh(jax.devices()[:8]), **kw)
+    single = run_monte_carlo(model, 1, mesh=trial_mesh(jax.devices()[:1]), **kw)
+    np.testing.assert_allclose(multi.final_wealth, single.final_wealth,
+                               rtol=1e-12)
+    np.testing.assert_array_equal(multi.start_regime, single.start_regime)
+    # The anchor pool must actually be honored (not silently regime_only):
+    # dropping the anchors falls back to regime_only, which draws different
+    # start conditions and therefore different wealth.
+    no_anchor = run_monte_carlo(model, 1, num_simulations=n, seed=7,
+                                progress=False,
+                                random_start_method="historical_anchor",
+                                cashflows=jnp.asarray(cash),
+                                mesh=trial_mesh(jax.devices()[:8]))
+    assert not np.allclose(multi.final_wealth, no_anchor.final_wealth)
+    # And the DCA overlay must actually change wealth vs the no-cashflow run.
+    plain = run_monte_carlo(model, 1, num_simulations=n, seed=7,
+                            progress=False,
+                            random_start_method="historical_anchor",
+                            anchors=anchors,
+                            mesh=trial_mesh(jax.devices()[:8]))
+    assert not np.allclose(multi.final_wealth, plain.final_wealth)
+
+
 def test_chunked_equals_unchunked(model):
     n = 12
     a = run_monte_carlo(model, 1, num_simulations=n, seed=1, chunk_size=4,
