@@ -52,6 +52,9 @@ class JointParams(NamedTuple):
     long_var: np.ndarray        # [R, K] t-scaled unconditional variances
     rbar: np.ndarray            # [R, K, K] PSD unconditional correlation
     theo_mean: np.ndarray       # [K] plain average of mu over regimes
+    chi_cheb: np.ndarray        # [R, CHI_CHEB_DEG+1] Chebyshev coeffs of
+                                # log chi2_ppf(Phi(z), nu) on z/CHI_CHEB_ZMAX
+                                # (fast chi-square sampler, see chi2_from_normal)
 
 
 class VixParams(NamedTuple):
@@ -116,6 +119,27 @@ class SimModel(NamedTuple):
 # Derivation helpers
 # ---------------------------------------------------------------------------
 
+# Fast chi-square sampler table: a degree-13 Chebyshev fit of
+# log chi2_ppf(Phi(z), nu) over z in [-CHI_CHEB_ZMAX, CHI_CHEB_ZMAX] turns
+# one standard normal into an (approximate to <5e-5 relative on the
+# quantile) chi-square(nu) draw with 13 FMAs + one exp — replacing the
+# gamma rejection sampler on the production fast path. f32 Box-Muller /
+# threefry normals never exceed ~6 sigma, so the fit range covers every
+# representable draw.
+CHI_CHEB_DEG = 13
+CHI_CHEB_ZMAX = 6.3
+
+
+def chi2_log_quantile_cheb(nu: float, deg: int = CHI_CHEB_DEG,
+                           zmax: float = CHI_CHEB_ZMAX) -> np.ndarray:
+    """Chebyshev coefficients (on t = z/zmax) of log chi2_ppf(Phi(z), nu)."""
+    from scipy import stats
+
+    z = np.linspace(-zmax, zmax, 8001)
+    y = np.log(stats.chi2.ppf(stats.norm.cdf(z), float(nu)))
+    return np.polynomial.chebyshev.chebfit(z / zmax, y, deg)
+
+
 def derive_joint_params(mu, cov, nu, alpha, beta, dcc_a, dcc_b) -> JointParams:
     """Precompute scan-ready joint-model arrays from per-regime (mu, cov, nu,
     GARCH/DCC) parameters. All inputs are [R, ...] stacked."""
@@ -138,10 +162,12 @@ def derive_joint_params(mu, cov, nu, alpha, beta, dcc_a, dcc_b) -> JointParams:
     rbar = cov / (d[:, :, None] * d[:, None, :])
     rbar = np.stack([nearest_psd_matrix(rbar[r]) for r in range(rbar.shape[0])])
 
+    chi_cheb = np.stack([chi2_log_quantile_cheb(float(n)) for n in nu])
+
     return JointParams(
         mu=mu, nu=nu, garch_alpha=alpha, garch_beta=beta,
         dcc_a=dcc_a, dcc_b=dcc_b, long_var=long_var, rbar=rbar,
-        theo_mean=mu.mean(axis=0))
+        theo_mean=mu.mean(axis=0), chi_cheb=chi_cheb)
 
 
 def build_dwell_tables(duration_samples: Optional[Dict[int, list]]) -> tuple:

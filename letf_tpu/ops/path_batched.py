@@ -65,6 +65,34 @@ def draw_innovations_batched(model: SimModel, run_key, trial_ids, antithetic,
 # ---------------------------------------------------------------------------
 
 
+def _scan_unroll() -> int:
+    """Scan unroll factor: 8 on TPU (amortizes per-step while-loop overhead,
+    ~1.4x on the hot scans), 1 elsewhere (unrolling octuples XLA:CPU compile
+    time for no measurable gain — the test suite runs on a 1-core host)."""
+    return 8 if jax.default_backend() == "tpu" else 1
+
+
+def _clenshaw(t, c):
+    """Chebyshev series sum c[k] T_k(t) via Clenshaw; c is a [K] array whose
+    entries are consumed as scalars (K static)."""
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for k in range(c.shape[0] - 1, 0, -1):
+        b1, b2 = c[k] + 2.0 * t * b1 - b2, b1
+    return c[0] + t * b1 - b2
+
+
+def chi2_from_normal(z, cheb_coeffs):
+    """Chi-square(nu) draw from one standard normal: exp(cheb(z/zmax)) where
+    cheb fits log chi2_ppf(Phi(z), nu) (params.chi2_log_quantile_cheb).
+    Quantile-exact to <5e-5 relative over +-6.3 sigma; pure FMAs + one exp,
+    so it runs identically in XLA and Pallas (no gamma rejection loop)."""
+    from letf_tpu.models.params import CHI_CHEB_ZMAX
+
+    t = jnp.clip(z / CHI_CHEB_ZMAX, -1.0, 1.0)
+    return jnp.exp(_clenshaw(t, cheb_coeffs))
+
+
 def _chisq_int(key, df: int, shape):
     """Exact chi-square with integer df from uniforms/normals only."""
     k_even = df // 2
@@ -185,7 +213,9 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
     reg = model.regime
     B = keys.shape[0]
     if max_spells is None:
-        max_spells = max(64, total_days // 6)
+        # Mean spell length below 12 days would mean 2500+ regime switches
+        # in 30y — far outside anything the dwell calibration produces.
+        max_spells = max(64, total_days // 12)
     K = max_spells
 
     u = jax.vmap(lambda k: jax.random.uniform(k, (K,)))(keys)   # [B, K]
@@ -201,13 +231,17 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
     spell_regime = start_regime[:, None] ^ parity                # [B, K]
 
     # Inverse-CDF dwell per spell, for both regimes, selected by parity.
-    # sum(cdf < u) fuses into a reduction (no [B,K,D] materialization).
+    # Both the index (sum of cdf < u) and the value lookup (one-hot
+    # contraction) are fused compare-reductions — a [B, K] gather from the
+    # value table would hit the TPU's slow dynamic-gather path.
     dwells = []
     for r in range(2):
         idx = jnp.minimum(
-            jnp.sum(dwell_cdf[r][None, None, :] < u[:, :, None], axis=-1),
-            D - 1)
-        emp = dwell_val[r][idx]
+            jnp.sum((dwell_cdf[r][None, None, :] < u[:, :, None])
+                    .astype(jnp.int32), axis=-1), D - 1)
+        emp = jnp.sum(jnp.where(idx[:, :, None]
+                                == jnp.arange(D)[None, None, :],
+                                dwell_val[r][None, None, :], 0.0), axis=-1)
         geo = jnp.maximum(jnp.ceil(jnp.log1p(-u) / jnp.log(p_stay[r])), 1.0)
         dwells.append(jnp.where(has_dwell[r] > 0, emp, geo))
     dwell = jnp.where(spell_regime == 0, dwells[0], dwells[1])   # [B, K]
@@ -215,14 +249,13 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
     # Spell boundaries -> parity of completed spells per day. The scan
     # engine decrements a float remainder, so a non-integer dwell d acts as
     # ceil(d) days — match that exactly.
+    # completed[t] = #{spells with end <= t} (day t of a boundary belongs to
+    # the NEXT spell). Computed as a fused compare-reduction over spells —
+    # a scatter-add + cumsum formulation is ~4x slower on TPU.
     ends = jnp.cumsum(jnp.ceil(dwell).astype(jnp.int32), axis=1)  # [B, K]
-    boundary = jnp.zeros((B, total_days + 1), jnp.int32)
-    boundary = boundary.at[
-        jnp.arange(B)[:, None],
-        jnp.minimum(ends, total_days)].add(1, mode="drop")
-    # completed[t] = #{spells with end <= t}: day t of a boundary belongs
-    # to the NEXT spell, so the inclusive cumsum is the right count.
-    completed = jnp.cumsum(boundary[:, :total_days], axis=1)      # [B, T]
+    t_grid = jnp.arange(total_days, dtype=jnp.int32)
+    completed = jnp.sum((ends[:, :, None] <= t_grid[None, None, :])
+                        .astype(jnp.int32), axis=1)               # [B, T]
     return (start_regime[:, None] ^ (completed % 2)).astype(jnp.int32)
 
 
@@ -285,18 +318,18 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
     eps = sign * jax.vmap(
         lambda k: jax.random.normal(k, (total_days, 3)))(k_eps)
 
-    # chi-square(nu_r): per-regime draws selected by the regime path.
-    nus = jnp.asarray(model.joint.nu)
-    k_chi = streams(rngs.JOINT_CHI)
-
-    def chi_for(k):
-        return jnp.stack([
-            2.0 * jax.random.gamma(jax.random.fold_in(k, r), nus[r] / 2.0,
-                                   (total_days,))
-            for r in range(nus.shape[0])])
-
-    chis = jax.vmap(chi_for)(k_chi)                      # [B, R, T]
-    u_chi = jnp.take_along_axis(chis, regime_full[:, None, :], axis=1)[:, 0]
+    # chi-square(nu_r) from ONE normal per day via the tabulated
+    # log-quantile Chebyshev (params.chi_cheb) — no gamma rejection loops,
+    # no [B, R, T] staging tensor, no gather.
+    z_chi = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
+        streams(rngs.JOINT_CHI))
+    cheb = jnp.asarray(model.joint.chi_cheb)             # [R, K]
+    chi_r = [chi2_from_normal(z_chi, cheb[r]) for r in range(cheb.shape[0])]
+    if len(chi_r) == 2:
+        u_chi = jnp.where(regime_full == 1, chi_r[1], chi_r[0])
+    else:
+        u_chi = jnp.select([regime_full == r for r in range(len(chi_r))],
+                           chi_r)
 
     vix_noise = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
         streams(rngs.VIX_NOISE))
@@ -494,7 +527,7 @@ def simulate_joint_and_vix_batched(model: SimModel, regime, eps, u_chi,
     init = (zB, zB, zB, zB, zB, zB, zB, zB, zB, zB, zB, zB,
             regime_t[0], zB, jnp.int32(0))
     _, (x0, x1, x2, vix) = lax.scan(
-        step, init, (regime_t, eps0, eps1, eps2, u_t, vn_t))
+        step, init, (regime_t, eps0, eps1, eps2, u_t, vn_t), unroll=_scan_unroll())
 
     x = jnp.stack([jnp.moveaxis(x0, 0, 1), jnp.moveaxis(x1, 0, 1),
                    jnp.moveaxis(x2, 0, 1)], axis=-1)          # [B, T, 3]
@@ -542,7 +575,8 @@ def simulate_stress_batched(model: SimModel, regime, vix, norms, u_jump, t_abs):
 
     zB = jnp.zeros((B,), dt)
     _, (liq, cred, jump) = lax.scan(step, (zB, zB, jnp.int32(0)),
-                                    (regime_t, vix_t, n0, n1, uj, ta))
+                                    (regime_t, vix_t, n0, n1, uj, ta),
+                                    unroll=_scan_unroll())
     return (jnp.moveaxis(liq, 0, 1), jnp.moveaxis(cred, 0, 1),
             jnp.moveaxis(jump, 0, 1))
 
@@ -577,7 +611,8 @@ def simulate_tracking_error_batched(model: SimModel, regime, vix, underlying,
         return (te_new, bias_new, t + 1), te_new - bias_new
 
     zBA = jnp.zeros((B, _A), dt)
-    _, te = lax.scan(step, (zBA, zBA, jnp.int32(0)), (innov_t, move_t))
+    _, te = lax.scan(step, (zBA, zBA, jnp.int32(0)), (innov_t, move_t),
+                     unroll=_scan_unroll())
     te = jnp.moveaxis(te, 0, 1)                 # [B, S, A]
 
     cap = jnp.asarray(Tk.clip_limit, dt)
@@ -601,22 +636,29 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
         moment_matching=moment_matching)
 
     irx_full = jnp.clip(
-        jnp.asarray(model.irx_base)[regime_full] + 0.5 * innov.irx_noise,
-        0.0, 15.0)
+        _gather_r(jnp.asarray(model.irx_base, x_full.dtype), regime_full)
+        + 0.5 * innov.irx_noise, 0.0, 15.0)
 
-    # Windowing at per-trial offsets: gather along time.
-    offs = innov.start_offset                           # [B]
-    tidx = offs[:, None] + jnp.arange(sim_days)[None, :]
-
-    def window(a):
-        return jnp.take_along_axis(
-            a, tidx.reshape(tidx.shape + (1,) * (a.ndim - 2)), axis=1)
-
-    regime = window(regime_full)
-    vix = window(vix_full)
-    irx = window(irx_full)
-    xw = window(x_full)
-    spy, qqq, tlt = xw[..., 0], xw[..., 1], xw[..., 2]
+    if T == sim_days:
+        # No buffer => every start_offset is 0 (only the 'offset' method
+        # draws nonzero offsets, and it requires buffer_days > 0): skip the
+        # windowing gather entirely — TPU gathers are the single most
+        # expensive op in this function.
+        regime, vix, irx = regime_full, vix_full, irx_full
+        spy, qqq, tlt = x_full[..., 0], x_full[..., 1], x_full[..., 2]
+    else:
+        # Windowing at per-trial offsets: ONE packed gather along time for
+        # all six streams instead of six separate gathers.
+        dt = x_full.dtype
+        offs = innov.start_offset                       # [B]
+        tidx = offs[:, None] + jnp.arange(sim_days)[None, :]
+        packed = jnp.concatenate([
+            x_full, vix_full[..., None], irx_full[..., None],
+            regime_full.astype(dt)[..., None]], axis=-1)        # [B, T, 6]
+        w = jnp.take_along_axis(packed, tidx[:, :, None], axis=1)
+        spy, qqq, tlt = w[..., 0], w[..., 1], w[..., 2]
+        vix, irx = w[..., 3], w[..., 4]
+        regime = w[..., 5].astype(jnp.int32)
 
     if use_stress:
         liq, cred, jump = simulate_stress_batched(
@@ -634,9 +676,12 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
     risk_free = jnp.clip(irx, 0.0, 20.0) / 100.0
 
     streams = jnp.stack([spy, qqq, tlt], axis=-1)
-    und_idx = jnp.asarray(model.assets.underlying)
+    # underlying[..., a] = streams[..., und_idx[a]] * beta[a] as a one-hot
+    # contraction (tiny matmul) instead of a [B, S, A] gather.
+    und_oh = (jnp.asarray(model.assets.underlying)[None, :]
+              == jnp.arange(3)[:, None]).astype(streams.dtype)     # [3, A]
     beta = jnp.asarray(model.assets.beta, streams.dtype)
-    underlying = streams[..., und_idx] * beta[None, None, :]
+    underlying = jnp.einsum("bsk,ka->bsa", streams, und_oh * beta[None, :])
 
     spread = borrow_spread_series(model, vix, risk_free, liq, cred,
                                   use_funding_model=use_funding_model)
@@ -653,7 +698,8 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
     te = simulate_tracking_error_batched(model, regime, vix, underlying,
                                          innov.te_draws)
     etf_ret = jnp.clip(lev_ret + te, -0.999, 10.0)
-    cash_ret = jnp.asarray(model.cash_rate, vix.dtype)[regime] / 252.0
+    cash_ret = _gather_r(jnp.asarray(model.cash_rate, vix.dtype),
+                         regime) / 252.0
 
     finite = (jnp.all(jnp.isfinite(etf_ret), axis=(1, 2))
               & jnp.all(jnp.isfinite(tlt), axis=1)

@@ -184,14 +184,21 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
                      else jnp.asarray(cashflows, dt)),
     }
 
-    s6_weights = jnp.asarray([0.6, 0.4], dt)
+    s6_w_a, s6_w_b = 0.6, 0.4
     s6_assets = (IDX_TQQQ, IDX_TMF)
-    s6_lev = jnp.asarray([cfg.ASSETS["TQQQ"].leverage, cfg.ASSETS["TMF"].leverage], dt)
+    s6_lev_a = float(cfg.ASSETS["TQQQ"].leverage)
+    s6_lev_b = float(cfg.ASSETS["TMF"].leverage)
     spread_bps = jnp.asarray([cfg.BASE_SPREAD_BPS[0], cfg.BASE_SPREAD_BPS[1]], dt)
     tqqq_lev = cfg.ASSETS["TQQQ"].leverage
 
+    # Layout note: all per-strategy carries are [NS, B] — the TRIAL axis is
+    # last so it maps onto the 128-wide lane dimension (a [B, NS] layout
+    # would put NS=19 on lanes at 15% utilization; see CLAUDE.md "no
+    # trailing small dims on hot tensors"). S6's two-asset position/leverage
+    # state is kept as four flat [B] components for the same reason.
     def step(carry, x):
-        (equity, prev_alloc, pos4, pos5, pos8, s6_pos, s6_emb,
+        (equity, prev_alloc, pos4, pos5, pos8,
+         s6_pos0, s6_pos1, s6_emb0, s6_emb1,
          trades, run_max, mdd) = carry
 
         t = x["t"]
@@ -232,7 +239,7 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         for rb in (r_tqqq, r_spy, r_sso):
             rets.append(rb)
             traded.append(jnp.zeros((B,), bool))
-            allocs_new.append(prev_alloc[:, len(rets) - 1])
+            allocs_new.append(prev_alloc[len(rets) - 1])
 
         # ---- S4/S5 SMA state machines ----
         pp = x["spy_price_prev"]
@@ -262,46 +269,53 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
                 ret_s = ret_s - jnp.where(flip, sma_cost, 0.0)
             rets.append(ret_s)
             traded.append(flip)
-            allocs_new.append(prev_alloc[:, len(rets) - 1])
+            allocs_new.append(prev_alloc[len(rets) - 1])
 
         # ---- S6 60/40 TQQQ/TMF with leverage-drift turnover ----
-        r6 = jnp.stack([rr[:, s6_assets[0]], rr[:, s6_assets[1]]], axis=-1)
-        pos_grown = s6_pos * (1.0 + r6)
-        u6 = r6 / s6_lev[None, :]
-        denom6 = 1.0 + s6_lev[None, :] * u6
-        emb_new = jnp.where(jnp.abs(denom6) > 0.01,
-                            s6_lev[None, :] * (1.0 + u6) / denom6,
-                            s6_lev[None, :])
-        total6 = jnp.sum(pos_grown, axis=-1)
+        # Component-wise over the two sleeves (same math as the stacked
+        # [B, 2] form, lane-packed over trials).
+        r6a, r6b = rr[:, s6_assets[0]], rr[:, s6_assets[1]]
+        pg0 = s6_pos0 * (1.0 + r6a)
+        pg1 = s6_pos1 * (1.0 + r6b)
+        u6a, u6b = r6a / s6_lev_a, r6b / s6_lev_b
+        den_a, den_b = 1.0 + s6_lev_a * u6a, 1.0 + s6_lev_b * u6b
+        emb0 = jnp.where(jnp.abs(den_a) > 0.01,
+                         s6_lev_a * (1.0 + u6a) / den_a, s6_lev_a)
+        emb1 = jnp.where(jnp.abs(den_b) > 0.01,
+                         s6_lev_b * (1.0 + u6b) / den_b, s6_lev_b)
+        total6 = pg0 + pg1
         is_rebal = (t % 21 == 0) & (~first)
-        cw = pos_grown / jnp.maximum(total6[:, None], 1e-30)
-        w_turn = jnp.sum(jnp.abs(cw - s6_weights[None, :]), axis=-1)
-        lev_turn = jnp.sum(jnp.abs(emb_new - s6_lev[None, :])
-                           / s6_lev[None, :] * cw, axis=-1)
+        inv_t6 = 1.0 / jnp.maximum(total6, 1e-30)
+        cw0, cw1 = pg0 * inv_t6, pg1 * inv_t6
+        w_turn = jnp.abs(cw0 - s6_w_a) + jnp.abs(cw1 - s6_w_b)
+        lev_turn = (jnp.abs(emb0 - s6_lev_a) / s6_lev_a * cw0
+                    + jnp.abs(emb1 - s6_lev_b) / s6_lev_b * cw1)
         tot_turn = w_turn + lev_turn
         do_cost = is_rebal & (tot_turn > 0.01) if apply_costs else jnp.zeros((B,), bool)
         total_after = jnp.where(
             do_cost, total6 * (1.0 - tot_turn * cfg.REBALANCE_COST_PER_DOLLAR),
             total6)
-        s6_pos_new = jnp.where(is_rebal,
-                               total_after[:, None] * s6_weights[None, :],
-                               pos_grown)
-        s6_emb_new = jnp.where(is_rebal, s6_lev[None, :], emb_new)
-        s6_pos_new = jnp.where(first, s6_pos, s6_pos_new)
-        s6_emb_new = jnp.where(first, s6_emb, s6_emb_new)
-        equity6 = jnp.where(first, equity[:, 5], total_after)
+        s6_pos_new0 = jnp.where(is_rebal, total_after * s6_w_a, pg0)
+        s6_pos_new1 = jnp.where(is_rebal, total_after * s6_w_b, pg1)
+        s6_emb_new0 = jnp.where(is_rebal, s6_lev_a, emb0)
+        s6_emb_new1 = jnp.where(is_rebal, s6_lev_b, emb1)
+        s6_pos_new0 = jnp.where(first, s6_pos0, s6_pos_new0)
+        s6_pos_new1 = jnp.where(first, s6_pos1, s6_pos_new1)
+        s6_emb_new0 = jnp.where(first, s6_emb0, s6_emb_new0)
+        s6_emb_new1 = jnp.where(first, s6_emb1, s6_emb_new1)
+        equity6 = jnp.where(first, equity[5], total_after)
         rets.append(jnp.zeros((B,), dt))          # placeholder; handled below
         traded.append(jnp.broadcast_to(is_rebal & (~first), (B,)))
-        allocs_new.append(prev_alloc[:, 5])
+        allocs_new.append(prev_alloc[5])
 
         # ---- S7 vol targeting 20% (NO cash on idle fraction) ----
         v7 = x["std20_mp20_cur"]
         pos7 = jnp.where(jnp.isnan(v7) | (v7 < 0.01), 1.0,
                          jnp.clip(0.20 / v7, 0.2, 2.0))
-        ret7, tr7, new_a7 = _vol_family_step(pos7, prev_alloc[:, 6], r_tqqq,
+        ret7, tr7, new_a7 = _vol_family_step(pos7, prev_alloc[6], r_tqqq,
                                              cashr, apply_costs,
                                              include_cash=False)
-        emit(0, tr7, pos7, equity[:, 6], tqqq_price)
+        emit(0, tr7, pos7, equity[6], tqqq_price)
         rets.append(ret7); traded.append(tr7); allocs_new.append(new_a7)
 
         # ---- S8 composite regime (TQQQ / SPY / cash; NO costs) ----
@@ -326,8 +340,8 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         asset8 = jnp.where(target8 == _POS_RISKY, IDX_TQQQ, IDX_SPY)
         alloc8 = jnp.where(target8 == _POS_CASH, 0.0, 1.0)
         price8j = jnp.where(target8 == _POS_RISKY, tqqq_price, spy_asset_price)
-        emit(1, switch8, alloc8, equity[:, 7], price8j, asset8)
-        rets.append(ret8); traded.append(switch8); allocs_new.append(prev_alloc[:, 7])
+        emit(1, switch8, alloc8, equity[7], price8j, asset8)
+        rets.append(ret8); traded.append(switch8); allocs_new.append(prev_alloc[7])
 
         # ---- S9 adaptive vol target (skips NaN days entirely) ----
         v9 = x["std20_mp20_prev"]
@@ -337,21 +351,21 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         bull9 = p9 > sma9
         target_v9 = jnp.where(bull9, 0.35, 0.12)
         alloc9 = jnp.clip(target_v9 / jnp.where(skip9, 1.0, v9), 0.0, 1.0)
-        alloc9 = jnp.where(skip9, prev_alloc[:, 8], alloc9)
-        ret9, tr9, new_a9 = _vol_family_step(alloc9, prev_alloc[:, 8], r_tqqq,
+        alloc9 = jnp.where(skip9, prev_alloc[8], alloc9)
+        ret9, tr9, new_a9 = _vol_family_step(alloc9, prev_alloc[8], r_tqqq,
                                              cashr, apply_costs)
         ret9 = jnp.where(skip9, 0.0, ret9)
         tr9 = tr9 & (~skip9)
-        emit(2, tr9, alloc9, equity[:, 8], tqqq_price)
+        emit(2, tr9, alloc9, equity[8], tqqq_price)
         rets.append(ret9); traded.append(tr9); allocs_new.append(new_a9)
 
         # ---- S10 Sortino (downside vol target) ----
         dv10 = x["dstd20_mp20_prev"]
         alloc10 = jnp.where(jnp.isnan(dv10) | (dv10 < 0.001), 1.0,
                             jnp.clip(0.15 / dv10, 0.0, 1.5))
-        ret10, tr10, new_a10 = _vol_family_step(alloc10, prev_alloc[:, 9],
+        ret10, tr10, new_a10 = _vol_family_step(alloc10, prev_alloc[9],
                                                 r_tqqq, cashr, apply_costs)
-        emit(3, tr10, alloc10, equity[:, 9], tqqq_price)
+        emit(3, tr10, alloc10, equity[9], tqqq_price)
         rets.append(ret10); traded.append(tr10); allocs_new.append(new_a10)
 
         # ---- S11 hyper-convex ----
@@ -363,18 +377,18 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
                            | jnp.isnan(x["sma200_mp1_prev"]), False, bull11)
         alloc11 = jnp.where(bull11, alloc11 ** 1.2, alloc11)
         alloc11 = jnp.clip(alloc11, 0.0, 1.0)
-        ret11, tr11, new_a11 = _vol_family_step(alloc11, prev_alloc[:, 10],
+        ret11, tr11, new_a11 = _vol_family_step(alloc11, prev_alloc[10],
                                                 r_tqqq, cashr, apply_costs)
-        emit(4, tr11, alloc11, equity[:, 10], tqqq_price)
+        emit(4, tr11, alloc11, equity[10], tqqq_price)
         rets.append(ret11); traded.append(tr11); allocs_new.append(new_a11)
 
         # ---- S12 vol velocity (max of fast/slow vols) ----
         v12 = jnp.maximum(x["std20_prev"], x["std5_prev"])  # NaN -> NaN
         v12 = jnp.where(jnp.isnan(v12) | (v12 < 0.001), 0.5, v12)
         alloc12 = jnp.clip(0.22 / v12, 0.0, 1.0)
-        ret12, tr12, new_a12 = _vol_family_step(alloc12, prev_alloc[:, 11],
+        ret12, tr12, new_a12 = _vol_family_step(alloc12, prev_alloc[11],
                                                 r_tqqq, cashr, apply_costs)
-        emit(5, tr12, alloc12, equity[:, 11], tqqq_price)
+        emit(5, tr12, alloc12, equity[11], tqqq_price)
         rets.append(ret12); traded.append(tr12); allocs_new.append(new_a12)
 
         # ---- S13 vol-of-vol momentum ----
@@ -387,9 +401,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         alloc13 = jnp.where(~jnp.isnan(vm13) & (vm13 > 0.10),
                             alloc13 * 0.7, alloc13)
         alloc13 = jnp.clip(alloc13, 0.0, 1.0)
-        ret13, tr13, new_a13 = _vol_family_step(alloc13, prev_alloc[:, 12],
+        ret13, tr13, new_a13 = _vol_family_step(alloc13, prev_alloc[12],
                                                 r_tqqq, cashr, apply_costs)
-        emit(6, tr13, alloc13, equity[:, 12], tqqq_price)
+        emit(6, tr13, alloc13, equity[12], tqqq_price)
         rets.append(ret13); traded.append(tr13); allocs_new.append(new_a13)
 
         # ---- S14 skewness-adjusted convex ----
@@ -400,9 +414,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         alloc14 = jnp.where(~jnp.isnan(s14) & (s14 > 0), alloc14 ** 1.3, alloc14)
         alloc14 = jnp.where(~jnp.isnan(s14) & (s14 < -0.5), alloc14 * 0.5, alloc14)
         alloc14 = jnp.clip(alloc14, 0.0, 1.0)
-        ret14, tr14, new_a14 = _vol_family_step(alloc14, prev_alloc[:, 13],
+        ret14, tr14, new_a14 = _vol_family_step(alloc14, prev_alloc[13],
                                                 r_tqqq, cashr, apply_costs)
-        emit(7, tr14, alloc14, equity[:, 13], tqqq_price)
+        emit(7, tr14, alloc14, equity[13], tqqq_price)
         rets.append(ret14); traded.append(tr14); allocs_new.append(new_a14)
 
         # ---- S15 meta-ensemble ----
@@ -418,9 +432,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
                             False, brake15)
         alloc15 = jnp.where(brake15, alloc15 * 0.5, alloc15)
         alloc15 = jnp.clip(alloc15, 0.0, 1.0)
-        ret15, tr15, new_a15 = _vol_family_step(alloc15, prev_alloc[:, 14],
+        ret15, tr15, new_a15 = _vol_family_step(alloc15, prev_alloc[14],
                                                 r_tqqq, cashr, apply_costs)
-        emit(8, tr15, alloc15, equity[:, 14], tqqq_price)
+        emit(8, tr15, alloc15, equity[14], tqqq_price)
         rets.append(ret15); traded.append(tr15); allocs_new.append(new_a15)
 
         # ---- S16 crisis alpha (regime asymmetric) ----
@@ -431,9 +445,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rv16 = x["std5_prev"]
         alloc16 = jnp.where(jnp.isnan(rv16) | (rv16 < 0.001), 0.5,
                             jnp.clip(target16 / rv16, 0.0, 1.2))
-        ret16, tr16, new_a16 = _vol_family_step(alloc16, prev_alloc[:, 15],
+        ret16, tr16, new_a16 = _vol_family_step(alloc16, prev_alloc[15],
                                                 r_tqqq, cashr, apply_costs)
-        emit(9, tr16, alloc16, equity[:, 15], tqqq_price)
+        emit(9, tr16, alloc16, equity[15], tqqq_price)
         rets.append(ret16); traded.append(tr16); allocs_new.append(new_a16)
 
         # ---- S17 tail-risk optimizer (skew-aware Kelly) ----
@@ -453,9 +467,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
                             jnp.clip((mean17 - 0.03) / (eff17 ** 2) * 0.7,
                                      0.2, 2.0), 1.0)
         alloc17 = jnp.clip((0.30 / eff17) * pen17 * (kelly17 / 1.5), 0.0, 1.5)
-        ret17, tr17, new_a17 = _vol_family_step(alloc17, prev_alloc[:, 16],
+        ret17, tr17, new_a17 = _vol_family_step(alloc17, prev_alloc[16],
                                                 r_tqqq, cashr, apply_costs)
-        emit(10, tr17, alloc17, equity[:, 16], tqqq_price)
+        emit(10, tr17, alloc17, equity[16], tqqq_price)
         rets.append(ret17); traded.append(tr17); allocs_new.append(new_a17)
 
         # ---- S18 momentum-vol convergence ----
@@ -469,9 +483,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         vm18 = jnp.where(vr18 < 0.8, 1.2, jnp.where(vr18 > 1.3, 0.6, 1.0))
         eff18 = jnp.where((vr18 < 0.8) | (vr18 > 1.3), vf18, vs18)
         alloc18 = jnp.clip(0.28 * mm18 * vm18 / eff18, 0.0, 1.5)
-        ret18, tr18, new_a18 = _vol_family_step(alloc18, prev_alloc[:, 17],
+        ret18, tr18, new_a18 = _vol_family_step(alloc18, prev_alloc[17],
                                                 r_tqqq, cashr, apply_costs)
-        emit(11, tr18, alloc18, equity[:, 17], tqqq_price)
+        emit(11, tr18, alloc18, equity[17], tqqq_price)
         rets.append(ret18); traded.append(tr18); allocs_new.append(new_a18)
 
         # ---- S19 conviction compounder (5% rebalance threshold) ----
@@ -494,40 +508,41 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         conviction = mom_score + trend_score + vol_score
         raw19 = (0.32 / dv19) * (0.3 + conviction * 0.55)
         cand19 = jnp.clip(raw19, 0.0, 1.5)
-        turn19 = jnp.abs(cand19 - prev_alloc[:, 18])
+        turn19 = jnp.abs(cand19 - prev_alloc[18])
         rebal19 = turn19 > 0.05
-        alloc19 = jnp.where(rebal19, cand19, prev_alloc[:, 18])
+        alloc19 = jnp.where(rebal19, cand19, prev_alloc[18])
         cost19 = jnp.where(rebal19, turn19 * _SPREAD, 0.0)
         ret19 = alloc19 * r_tqqq + (1.0 - alloc19) * cashr
         if apply_costs:
             ret19 = ret19 - cost19
-        emit(12, rebal19, cand19, equity[:, 18], tqqq_price)
+        emit(12, rebal19, cand19, equity[18], tqqq_price)
         rets.append(ret19); traded.append(rebal19); allocs_new.append(alloc19)
 
-        # ---- combine ----
-        ret_all = jnp.stack(rets, axis=-1)             # [B, NS]
+        # ---- combine ([NS, B]: strategies on sublanes, trials on lanes) ----
+        ret_all = jnp.stack(rets, axis=0)              # [NS, B]
         # Reference quirk: benchmark cumprods include day 0 (strategy.py:93),
         # while every loop strategy starts compounding at day 1.
         bench_mask = jnp.arange(NS) < 3
-        ret_all = jnp.where(first & ~bench_mask[None, :], 0.0, ret_all)
+        ret_all = jnp.where(first & ~bench_mask[:, None], 0.0, ret_all)
         equity_new = equity * (1.0 + ret_all)
         # S6 equity computed from positions, not a return.
-        equity_new = equity_new.at[:, 5].set(equity6)
+        equity_new = equity_new.at[5].set(equity6)
 
         # Cashflow overlay (DCA contributions / withdrawals), floored at 0;
         # S6 positions scale proportionally so weights are preserved.
         cf = x["cashflow"]
         equity_cf = jnp.maximum(equity_new + cf, 0.0)
-        s6_scale = equity_cf[:, 5] / jnp.maximum(equity_new[:, 5], 1e-30)
-        s6_pos_new = s6_pos_new * s6_scale[:, None]
+        s6_scale = equity_cf[5] / jnp.maximum(equity_new[5], 1e-30)
+        s6_pos_new0 = s6_pos_new0 * s6_scale
+        s6_pos_new1 = s6_pos_new1 * s6_scale
         equity_new = equity_cf
 
-        traded_all = jnp.stack(traded, axis=-1) & (~first)
+        traded_all = jnp.stack(traded, axis=0) & (~first)
         inc = traded_all.astype(jnp.int32)
-        inc = inc.at[:, 5].set(inc[:, 5] * 2)          # S6 counts 2 per rebalance
+        inc = inc.at[5].set(inc[5] * 2)                # S6 counts 2 per rebalance
         trades_new = trades + inc
 
-        prev_alloc_new = jnp.stack(allocs_new, axis=-1)
+        prev_alloc_new = jnp.stack(allocs_new, axis=0)
         prev_alloc_new = jnp.where(first, prev_alloc, prev_alloc_new)
 
         # Running max accumulates from the day-0 equity (which for benchmarks
@@ -543,27 +558,33 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         pos8n = jnp.where(first, pos8, target8)
 
         carry_new = (equity_new, prev_alloc_new, pos4n, pos5n, pos8n,
-                     s6_pos_new, s6_emb_new, trades_new, run_max_new, mdd_new)
+                     s6_pos_new0, s6_pos_new1, s6_emb_new0, s6_emb_new1,
+                     trades_new, run_max_new, mdd_new)
         out = ((tj_alloc, tj_value, tj_price, tj_asset)
                if emit_trades else None)
         return carry_new, out
 
-    init_equity = jnp.full((B, NS), INITIAL_CAPITAL, dt)
+    init_equity = jnp.full((NS, B), INITIAL_CAPITAL, dt)
     init = (
         init_equity,
-        jnp.zeros((B, NS), dt),                       # prev_alloc
+        jnp.zeros((NS, B), dt),                       # prev_alloc
         jnp.zeros((B,), jnp.int32),                   # pos4
         jnp.zeros((B,), jnp.int32),                   # pos5
         jnp.full((B,), _POS_CASH, jnp.int32),         # pos8
-        INITIAL_CAPITAL * jnp.broadcast_to(s6_weights, (B, 2)),
-        jnp.broadcast_to(s6_lev, (B, 2)),
-        jnp.zeros((B, NS), jnp.int32),
+        jnp.full((B,), INITIAL_CAPITAL * s6_w_a, dt),  # s6_pos0
+        jnp.full((B,), INITIAL_CAPITAL * s6_w_b, dt),  # s6_pos1
+        jnp.full((B,), s6_lev_a, dt),                  # s6_emb0
+        jnp.full((B,), s6_lev_b, dt),                  # s6_emb1
+        jnp.zeros((NS, B), jnp.int32),
         init_equity,                                  # running max
-        jnp.zeros((B, NS), dt),                       # max drawdown
+        jnp.zeros((NS, B), dt),                       # max drawdown
     )
 
-    carry, outs = lax.scan(step, init, xs)
-    (equity, _, _, _, _, _, _, trades, _, mdd) = carry
+    from letf_tpu.ops.path_batched import _scan_unroll
+    carry, outs = lax.scan(step, init, xs, unroll=_scan_unroll())
+    equity = carry[0].T
+    trades = carry[9].T
+    mdd = carry[11].T
 
     if emit_trades:
         tj_alloc, tj_value, tj_price, tj_asset = outs

@@ -71,7 +71,11 @@ def unflatten_model(template: SimModel, flat) -> SimModel:
     groups = {}
     for group_name, group in template._asdict().items():
         if hasattr(group, "_asdict"):
-            fields = {f: np.asarray(flat[f"{group_name}.{f}"])
+            # Fields absent from the checkpoint (older format) fall back to
+            # the template's derived value — e.g. joint.chi_cheb.
+            fields = {f: (np.asarray(flat[f"{group_name}.{f}"])
+                          if f"{group_name}.{f}" in flat
+                          else np.asarray(getattr(group, f)))
                       for f in group._fields}
             groups[group_name] = type(group)(**fields)
         else:

@@ -71,6 +71,24 @@ def test_fast_draws_distribution(model):
         np.asarray(ref.vix).mean(), rel=0.15)
 
 
+def test_chi2_from_normal_quantile_exact():
+    """The Chebyshev log-quantile sampler must match scipy's chi-square
+    quantile function to <2e-4 relative across +-6.2 sigma for the nu range
+    calibration produces (deterministic check, no sampling noise)."""
+    from scipy import stats
+
+    from letf_tpu.models.params import chi2_log_quantile_cheb
+    from letf_tpu.ops.path_batched import chi2_from_normal
+
+    for nu in (4.0, 4.5, 6.0, 8.37, 12.0, 30.0):
+        cheb = jnp.asarray(chi2_log_quantile_cheb(nu))
+        z = np.linspace(-6.2, 6.2, 4001)
+        got = np.asarray(chi2_from_normal(jnp.asarray(z), cheb))
+        want = stats.chi2.ppf(stats.norm.cdf(z), nu)
+        rel = np.abs(got - want) / want
+        assert rel.max() < 2e-4, (nu, rel.max())
+
+
 def test_t_int_df_moments():
     """Fast integer-df t sampler: variance df/(df-2), symmetric."""
     x = np.asarray(t_int_df(jax.random.key(0), 5, (200_000,)))
