@@ -647,15 +647,29 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
         regime, vix, irx = regime_full, vix_full, irx_full
         spy, qqq, tlt = x_full[..., 0], x_full[..., 1], x_full[..., 2]
     else:
-        # Windowing at per-trial offsets: ONE packed gather along time for
-        # all six streams instead of six separate gathers.
+        # Windowing at per-trial offsets: a binary shift-select tree over
+        # ONE packed tensor. Each of the ~11 levels conditionally rolls the
+        # time axis left by 2^k — dense copies + selects only, no gather
+        # (a take_along_axis here costs ~20x more on TPU; rolled-in wrap
+        # garbage lands beyond sim_days because total shift <= T - S).
         dt = x_full.dtype
         offs = innov.start_offset                       # [B]
-        tidx = offs[:, None] + jnp.arange(sim_days)[None, :]
         packed = jnp.concatenate([
             x_full, vix_full[..., None], irx_full[..., None],
             regime_full.astype(dt)[..., None]], axis=-1)        # [B, T, 6]
-        w = jnp.take_along_axis(packed, tidx[:, :, None], axis=1)
+        max_off = T - sim_days
+        for k in reversed(range(max(1, int(max_off).bit_length()))):
+            # MSB-first: once bit k is applied the remaining shift is at
+            # most 2^k - 1, so the working tensor truncates to
+            # sim_days + 2^k - 1 — the early (largest) levels shrink the
+            # copies the later levels pay for.
+            shift = 1 << k
+            bit = ((offs >> k) & 1) > 0
+            rolled = jnp.concatenate(
+                [packed[:, shift:], packed[:, :shift]], axis=1)
+            packed = jnp.where(bit[:, None, None], rolled,
+                               packed)[:, :sim_days + shift - 1]
+        w = packed[:, :sim_days]
         spy, qqq, tlt = w[..., 0], w[..., 1], w[..., 2]
         vix, irx = w[..., 3], w[..., 4]
         regime = w[..., 5].astype(jnp.int32)
@@ -701,17 +715,29 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
     cash_ret = _gather_r(jnp.asarray(model.cash_rate, vix.dtype),
                          regime) / 252.0
 
-    finite = (jnp.all(jnp.isfinite(etf_ret), axis=(1, 2))
-              & jnp.all(jnp.isfinite(tlt), axis=1)
-              & jnp.all(jnp.isfinite(vix), axis=1))
-    valid = finite & (vix.min(axis=1) >= 5.0) & (vix.max(axis=1) <= 120.0)
+    finite_pre = (jnp.all(jnp.isfinite(etf_ret), axis=(1, 2))
+                  & jnp.all(jnp.isfinite(tlt), axis=1)
+                  & jnp.all(jnp.isfinite(vix), axis=1))
+    vix_ok = (jnp.all(jnp.isfinite(vix), axis=1)
+              & (vix.min(axis=1) >= 5.0) & (vix.max(axis=1) <= 120.0))
+    valid_pre = finite_pre & vix_ok
+
+    # Repair pass — twin of path_engine.path_from_innovations (reference
+    # engine.py:553-562): bound + zero non-finite returns; VIX is not
+    # repaired. Identity on valid paths.
+    repaired = ~valid_pre
+    etf_ret = jnp.clip(jnp.where(jnp.isfinite(etf_ret), etf_ret, 0.0),
+                       -0.999, 10.0)
+    tlt = jnp.clip(jnp.where(jnp.isfinite(tlt), tlt, 0.0), -0.999, 10.0)
+    valid = vix_ok
 
     return PathOutputs(
         etf_ret=etf_ret, tlt_ret=tlt, spy_ret=spy, qqq_ret=qqq, vix=vix,
         regime=regime, cash_ret=cash_ret, risk_free=risk_free,
         start_offset=innov.start_offset, start_regime=innov.start_regime,
         initial_vix=innov.initial_vix, jump_days=jump_days,
-        liq_mean=liq_mean, credit_mean=cred_mean, valid=valid)
+        liq_mean=liq_mean, credit_mean=cred_mean, valid=valid,
+        repaired=repaired)
 
 
 def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,

@@ -54,7 +54,9 @@ class PathOutputs(NamedTuple):
     jump_days: jax.Array     # scalar int32 (stress summary)
     liq_mean: jax.Array      # scalar
     credit_mean: jax.Array   # scalar
-    valid: jax.Array         # scalar bool: finite + VIX range layer checks
+    valid: jax.Array         # scalar bool: POST-repair layer checks
+    repaired: jax.Array      # scalar bool: failed pre-repair checks and got
+                             # the bound-and-zero repair pass applied
 
 
 def _chol3(c):
@@ -586,16 +588,30 @@ def path_from_innovations(model: SimModel, innov: Innovations,
 
     # ---- layer validity checks (engine.py:206-231): clipping guarantees
     # price positivity; record finiteness + VIX range ----
-    finite = (jnp.all(jnp.isfinite(etf_ret)) & jnp.all(jnp.isfinite(tlt))
-              & jnp.all(jnp.isfinite(vix)))
-    valid = finite & (vix.min() >= 5.0) & (vix.max() <= 120.0)
+    finite_pre = (jnp.all(jnp.isfinite(etf_ret)) & jnp.all(jnp.isfinite(tlt))
+                  & jnp.all(jnp.isfinite(vix)))
+    vix_ok = (jnp.all(jnp.isfinite(vix))
+              & (vix.min() >= 5.0) & (vix.max() <= 120.0))
+    valid_pre = finite_pre & vix_ok
+
+    # ---- repair pass (engine.py:553-562): bound returns and zero any
+    # non-finite values so one bad path cannot poison percentiles; prices
+    # are cumprods computed downstream, so rebuilding is implicit. VIX is
+    # deliberately NOT repaired (reference parity: a VIX-range failure
+    # keeps is_valid False after repair). Identity on valid paths. ----
+    repaired = ~valid_pre
+    etf_ret = jnp.clip(jnp.where(jnp.isfinite(etf_ret), etf_ret, 0.0),
+                       -0.999, 10.0)
+    tlt = jnp.clip(jnp.where(jnp.isfinite(tlt), tlt, 0.0), -0.999, 10.0)
+    valid = vix_ok     # post-repair re-validation: returns now finite
 
     return PathOutputs(
         etf_ret=etf_ret, tlt_ret=tlt, spy_ret=spy, qqq_ret=qqq, vix=vix,
         regime=regime, cash_ret=cash_ret, risk_free=risk_free,
         start_offset=innov.start_offset, start_regime=innov.start_regime,
         initial_vix=innov.initial_vix, jump_days=jump_days,
-        liq_mean=liq_mean, credit_mean=cred_mean, valid=valid)
+        liq_mean=liq_mean, credit_mean=cred_mean, valid=valid,
+        repaired=repaired)
 
 
 @functools.partial(

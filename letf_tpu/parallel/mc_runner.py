@@ -40,7 +40,8 @@ class MCArrays:
     final_wealth: np.ndarray    # [N, 19]
     num_trades: np.ndarray      # [N, 19]
     max_dd: np.ndarray          # [N, 19]
-    valid: np.ndarray           # [N] bool
+    valid: np.ndarray           # [N] bool (post-repair layer checks)
+    repaired: np.ndarray        # [N] bool (failed pre-repair checks)
     start_offset: np.ndarray    # [N]
     start_regime: np.ndarray    # [N]
     jump_days: np.ndarray       # [N]
@@ -84,7 +85,7 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
     regime_high = jnp.sum(path.regime == 1, axis=1).astype(jnp.int32)
     summaries = dict(
         final_wealth=res.final_wealth, num_trades=res.num_trades,
-        max_dd=res.max_dd, valid=path.valid,
+        max_dd=res.max_dd, valid=path.valid, repaired=path.repaired,
         start_offset=path.start_offset, start_regime=path.start_regime,
         jump_days=path.jump_days, liq_mean=path.liq_mean,
         credit_mean=path.credit_mean, regime_high_days=regime_high)
@@ -176,11 +177,23 @@ def run_monte_carlo(
     bootstrap_pools=None,
     cashflows=None,
     anchors=None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    max_chunks: Optional[int] = None,
 ) -> MCArrays:
     """Run N trials of `time_horizon` years through the full engine.
 
     Chunked over trials to bound HBM; each chunk's trial axis is sharded
     over the mesh. Returns host-side summary arrays.
+
+    Checkpoint/resume (the reference's MC runs are all-or-nothing,
+    SURVEY.md §5): with ``checkpoint_dir`` set, every completed chunk's
+    summaries are written to disk along with a manifest; a killed run
+    restarted with ``resume=True`` loads completed chunks and computes only
+    the rest — bitwise identical to an uninterrupted run because trials
+    replay deterministically from (seed, trial_id). ``max_chunks`` bounds
+    this call to N chunks (returns the completed prefix of trials), which
+    is also how the kill-and-resume path is exercised in tests.
     """
     if not isinstance(model, SimModel):
         model = build_sim_model(model)
@@ -218,31 +231,84 @@ def run_monte_carlo(
     else:
         chunk_fn = None
 
+    # ---- checkpoint/resume bookkeeping ----
+    ckpt = None
+    manifest_run = {
+        "seed": seed, "num_simulations": num_simulations,
+        "time_horizon": time_horizon, "engine_mode": engine_mode,
+        "chunk_size": chunk_size,
+        "random_start_method": random_start_method,
+        "use_antithetic": bool(use_antithetic),
+    }
+    if checkpoint_dir is not None:
+        from pathlib import Path
+
+        from letf_tpu.utils.checkpoint import load_run_manifest
+
+        ckpt = Path(checkpoint_dir)
+        ckpt.mkdir(parents=True, exist_ok=True)
+        if resume:
+            man = load_run_manifest(ckpt / "manifest.json")
+            if man is not None:
+                run_cfg = {k: man.get(k) for k in manifest_run}
+                if run_cfg != manifest_run:
+                    raise ValueError(
+                        "resume=True but the checkpoint manifest was written "
+                        f"by a different run configuration: {run_cfg} != "
+                        f"{manifest_run}")
+
     outs: Dict[str, List[np.ndarray]] = {}
     n_done = 0
+    chunks_run = 0
     while n_done < num_simulations:
         n_here = min(chunk_size, num_simulations - n_done)
-        n_pad = pad_to_multiple(n_here, n_dev)
-        idx = np.arange(n_done, n_done + n_pad) % num_simulations
-        if chunk_fn is not None:
-            ids_c = jax.device_put(jnp.asarray(ids[idx], jnp.int32), sharding)
-            anti_c = jax.device_put(jnp.asarray(anti[idx]), sharding)
-            summaries = chunk_fn(model, key, ids_c, anti_c, bootstrap_pools,
-                                 cashflows, anchors)
+        chunk_file = (ckpt / f"chunk_{n_done:012d}_{n_done + n_here:012d}.npz"
+                      if ckpt is not None else None)
+        if resume and chunk_file is not None and chunk_file.exists():
+            saved = np.load(chunk_file)
+            summaries = {k: saved[k] for k in saved.files}
+            restored = True
         else:
-            ids_c = jnp.asarray(ids[idx], jnp.int32)
-            anti_c = jnp.asarray(anti[idx])
-            summaries, _ = _mc_chunk(
-                model, key, ids_c, anti_c, sim_days, buffer_days,
-                random_start_method=random_start_method,
-                apply_costs=apply_costs, engine_mode=engine_mode,
-                bootstrap_pools=bootstrap_pools, cashflows=cashflows,
-                anchors=anchors)
+            n_pad = pad_to_multiple(n_here, n_dev)
+            idx = np.arange(n_done, n_done + n_pad) % num_simulations
+            if chunk_fn is not None:
+                ids_c = jax.device_put(jnp.asarray(ids[idx], jnp.int32),
+                                       sharding)
+                anti_c = jax.device_put(jnp.asarray(anti[idx]), sharding)
+                summaries = chunk_fn(model, key, ids_c, anti_c,
+                                     bootstrap_pools, cashflows, anchors)
+            else:
+                ids_c = jnp.asarray(ids[idx], jnp.int32)
+                anti_c = jnp.asarray(anti[idx])
+                summaries, _ = _mc_chunk(
+                    model, key, ids_c, anti_c, sim_days, buffer_days,
+                    random_start_method=random_start_method,
+                    apply_costs=apply_costs, engine_mode=engine_mode,
+                    bootstrap_pools=bootstrap_pools, cashflows=cashflows,
+                    anchors=anchors)
+            summaries = {k: np.asarray(v)[:n_here]
+                         for k, v in summaries.items()}
+            restored = False
         for k, v in summaries.items():
             outs.setdefault(k, []).append(np.asarray(v)[:n_here])
         n_done += n_here
+        if not restored:
+            chunks_run += 1
+        if ckpt is not None and not restored:
+            from letf_tpu.utils.checkpoint import save_run_manifest
+
+            np.savez(chunk_file, **summaries)
+            save_run_manifest(ckpt / "manifest.json", completed_trials=n_done,
+                              **manifest_run)
         if progress and num_simulations > chunk_size:
             print(f"  MC progress: {n_done:,}/{num_simulations:,} trials")
+        if max_chunks is not None and chunks_run >= max_chunks \
+                and n_done < num_simulations:
+            # Chunk budget reached: return the completed prefix (resumable
+            # from checkpoint_dir).
+            cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+            return MCArrays(sim_days=sim_days, trial_ids=ids[:n_done],
+                            antithetic=anti[:n_done], **cat)
 
     cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
     return MCArrays(sim_days=sim_days, trial_ids=ids, antithetic=anti, **cat)
@@ -376,7 +442,10 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
             "start_method": (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
                              else "default"),
             "start_offset": int(arrays.start_offset[i]),
-            "layer_checks": {"is_valid": bool(arrays.valid[i])},
+            "layer_checks": {
+                "is_valid": bool(arrays.valid[i]),
+                "repaired_after_validation": bool(arrays.repaired[i]),
+            },
             "stress_summary": {
                 "liq_mean": float(arrays.liq_mean[i]),
                 "credit_mean": float(arrays.credit_mean[i]),

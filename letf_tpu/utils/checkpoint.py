@@ -85,13 +85,15 @@ def unflatten_model(template: SimModel, flat) -> SimModel:
 
 def save_run_manifest(path: str | Path, *, seed: int, num_simulations: int,
                       time_horizon: int, completed_trials: int,
-                      engine_mode: str) -> None:
+                      engine_mode: str, **extra) -> None:
     """Tiny JSON manifest enabling MC resume: counter-based RNG means the
-    remaining trials regenerate exactly from (seed, trial_id)."""
+    remaining trials regenerate exactly from (seed, trial_id). ``extra``
+    records any further run-configuration fields the resume check compares
+    (chunk size, start method, antithetic pairing, ...)."""
     Path(path).write_text(json.dumps({
         "seed": seed, "num_simulations": num_simulations,
         "time_horizon": time_horizon, "completed_trials": completed_trials,
-        "engine_mode": engine_mode,
+        "engine_mode": engine_mode, **extra,
     }, indent=2))
 
 

@@ -87,6 +87,32 @@ def test_chunked_equals_unchunked(model):
     np.testing.assert_allclose(a.final_wealth, b.final_wealth, rtol=1e-12)
 
 
+def test_mc_checkpoint_kill_and_resume(model, tmp_path):
+    """A run killed mid-stream (max_chunks budget) and resumed from its
+    checkpoint directory must produce bitwise-identical MCArrays to an
+    uninterrupted run (VERDICT r1 #6)."""
+    kw = dict(num_simulations=12, seed=11, chunk_size=4, progress=False,
+              mesh=trial_mesh(jax.devices()[:1]))
+    clean = run_monte_carlo(model, 1, **kw)
+
+    ck = str(tmp_path / "mc_ckpt")
+    partial = run_monte_carlo(model, 1, checkpoint_dir=ck, max_chunks=1, **kw)
+    assert partial.final_wealth.shape[0] == 4          # one chunk completed
+    import os
+    assert os.path.exists(os.path.join(ck, "manifest.json"))
+
+    resumed = run_monte_carlo(model, 1, checkpoint_dir=ck, resume=True, **kw)
+    np.testing.assert_array_equal(resumed.final_wealth, clean.final_wealth)
+    np.testing.assert_array_equal(resumed.num_trades, clean.num_trades)
+    np.testing.assert_array_equal(resumed.max_dd, clean.max_dd)
+
+    # Resuming under a different run configuration must refuse.
+    with pytest.raises(ValueError):
+        run_monte_carlo(model, 1, num_simulations=12, seed=99, chunk_size=4,
+                        progress=False, mesh=trial_mesh(jax.devices()[:1]),
+                        checkpoint_dir=ck, resume=True)
+
+
 def test_reference_format_results(model):
     mc = parallel_monte_carlo_fixed(
         strategy_ids=["S1", "S2", "S7"], time_horizon=1,

@@ -71,6 +71,35 @@ def test_fast_draws_distribution(model):
         np.asarray(ref.vix).mean(), rel=0.15)
 
 
+def test_repair_pass_bounds_invalid_paths(model):
+    """A non-finite innovation must be repaired (returns bounded and
+    zeroed, repaired flag set) instead of poisoning downstream percentiles
+    — reference engine.py:553-562."""
+    from letf_tpu.ops.path_batched import (
+        draw_innovations_fast,
+        path_from_innovations_batched,
+    )
+
+    B, S = 4, 64
+    innov = jax.jit(draw_innovations_fast, static_argnames=(
+        "sim_days", "buffer_days", "random_start_method"))(
+        model, jax.random.key(2), jnp.arange(B, dtype=jnp.int32),
+        jnp.zeros(B, bool), sim_days=S, buffer_days=0,
+        random_start_method="none")
+    # Poison one trial's tracking-error draws with NaN.
+    bad_te = innov.te_draws.at[1, 10, 0].set(jnp.nan)
+    innov = innov._replace(te_draws=bad_te)
+    path = jax.jit(path_from_innovations_batched,
+                   static_argnames=("sim_days",))(model, innov, sim_days=S)
+    assert bool(path.repaired[1]) and not bool(path.repaired[0])
+    # Post-repair, every return is finite and bounded for ALL trials.
+    etf = np.asarray(path.etf_ret)
+    assert np.isfinite(etf).all()
+    assert (etf >= -0.999).all() and (etf <= 10.0).all()
+    # The repaired trial passes post-repair validation (VIX untouched).
+    assert bool(path.valid[1])
+
+
 def test_chi2_from_normal_quantile_exact():
     """The Chebyshev log-quantile sampler must match scipy's chi-square
     quantile function to <2e-4 relative across +-6.2 sigma for the nu range
