@@ -124,61 +124,53 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
     def tm(x):
         return jnp.moveaxis(x, 1, 0)
 
-    r = tm(path.etf_ret)                    # [S, B, A]
-    cash = tm(path.cash_ret)                # [S, B]
-    regime = tm(path.regime)                # [S, B]
     vix = tm(path.vix)                      # [S, B]
-    prices = tm(sig.prices)                 # [S, B, A]
     spy_price = tm(sig.spy_price)           # [S, B]
-
-    sigs = {
-        "std20_mp20": tm(sig.tqqq_std20_mp20),
-        "dstd20_mp20": tm(sig.tqqq_dstd20_mp20),
-        "std5": tm(sig.tqqq_std5),
-        "std10": tm(sig.tqqq_std10),
-        "std20": tm(sig.tqqq_std20),
-        "std60": tm(sig.tqqq_std60),
-        "dstd20": tm(sig.tqqq_dstd20),
-        "skew60": tm(sig.tqqq_skew60),
-        "mean60": tm(sig.tqqq_mean60_ann),
-        "volmom5": tm(sig.tqqq_volmom5),
-        "sum126": tm(sig.spy_sum126),
-        "sma200_mp1": tm(sig.spy_sma200_mp1),
-        "sma200": tm(sig.spy_sma200),
-        "sma100_mp1": tm(sig.spy_sma100_mp1),
-        "rsi14": tm(sig.spy_rsi14),
-    }
-
-    nanB = jnp.full((B,), jnp.nan, dt)
 
     def prev_of(x):
         """x is [S, ...]: value at the previous day (NaN at day 0)."""
         first = jnp.full_like(x[:1], jnp.nan)
         return jnp.concatenate([first, x[:-1]], axis=0)
 
+    # Every per-day input is a flat [S, B] channel (trials on the lane
+    # axis); the [S, B, A] forms would put A=6 on lanes at 5% utilization.
+    # (Stacking all channels into one [S, C, B] tensor was measured SLOWER
+    # — the stack copy costs more than per-channel xs slicing saves.)
+    CH: dict = {}
+
+    def ch(name, arr):
+        CH[name] = arr
+
+    for a in range(A):
+        ch(f"r{a}", tm(path.etf_ret[:, :, a]))
+    for a in range(A):
+        ch(f"price{a}", tm(sig.prices[:, :, a]))
+    ch("cash", tm(path.cash_ret))
+    ch("regime", tm(path.regime).astype(dt))   # 0/1, exact as float
+    ch("vix", vix)
+    ch("vix_prev", prev_of(vix))
+    ch("spy_price_prev", prev_of(spy_price))
+    # signals read at i-1 (pandas shift(1) semantics):
+    ch("std20_mp20_prev", prev_of(tm(sig.tqqq_std20_mp20)))
+    ch("dstd20_mp20_prev", prev_of(tm(sig.tqqq_dstd20_mp20)))
+    ch("std5_prev", prev_of(tm(sig.tqqq_std5)))
+    ch("std10_prev", prev_of(tm(sig.tqqq_std10)))
+    ch("std20_prev", prev_of(tm(sig.tqqq_std20)))
+    ch("std60_prev", prev_of(tm(sig.tqqq_std60)))
+    ch("dstd20_prev", prev_of(tm(sig.tqqq_dstd20)))
+    ch("skew60_prev", prev_of(tm(sig.tqqq_skew60)))
+    ch("mean60_prev", prev_of(tm(sig.tqqq_mean60_ann)))
+    ch("volmom5_prev", prev_of(tm(sig.tqqq_volmom5)))
+    ch("sum126_prev", prev_of(tm(sig.spy_sum126)))
+    ch("sma200_mp1_prev", prev_of(tm(sig.spy_sma200_mp1)))
+    ch("sma200_prev", prev_of(tm(sig.spy_sma200)))
+    ch("sma100_mp1_prev", prev_of(tm(sig.spy_sma100_mp1)))
+    ch("rsi14_prev", prev_of(tm(sig.spy_rsi14)))
+    # S7 reads its vol signal UNshifted (strategy.py:255,261):
+    ch("std20_mp20_cur", tm(sig.tqqq_std20_mp20))
+
     xs = {
-        "r": r, "cash": cash, "regime": regime, "vix": vix,
-        "vix_prev": prev_of(vix),
-        "spy_price_prev": prev_of(spy_price),
-        "price": prices,
-        # signals read at i-1 (pandas shift(1) semantics):
-        "std20_mp20_prev": prev_of(sigs["std20_mp20"]),
-        "dstd20_mp20_prev": prev_of(sigs["dstd20_mp20"]),
-        "std5_prev": prev_of(sigs["std5"]),
-        "std10_prev": prev_of(sigs["std10"]),
-        "std20_prev": prev_of(sigs["std20"]),
-        "std60_prev": prev_of(sigs["std60"]),
-        "dstd20_prev": prev_of(sigs["dstd20"]),
-        "skew60_prev": prev_of(sigs["skew60"]),
-        "mean60_prev": prev_of(sigs["mean60"]),
-        "volmom5_prev": prev_of(sigs["volmom5"]),
-        "sum126_prev": prev_of(sigs["sum126"]),
-        "sma200_mp1_prev": prev_of(sigs["sma200_mp1"]),
-        "sma200_prev": prev_of(sigs["sma200"]),
-        "sma100_mp1_prev": prev_of(sigs["sma100_mp1"]),
-        "rsi14_prev": prev_of(sigs["rsi14"]),
-        # S7 reads its vol signal UNshifted (strategy.py:255,261):
-        "std20_mp20_cur": sigs["std20_mp20"],
+        "x": CH,                                 # dict of [S, B] channels
         "t": jnp.arange(S, dtype=jnp.int32),
         "cashflow": (jnp.zeros(S, dt) if cashflows is None
                      else jnp.asarray(cashflows, dt)),
@@ -203,12 +195,16 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
 
         t = x["t"]
         first = t == 0
-        rr = x["r"]                       # [B, A]
-        cashr = x["cash"]                 # [B]
-        reg = x["regime"]                 # [B]
-        r_tqqq = rr[:, IDX_TQQQ]
-        r_spy = rr[:, IDX_SPY]
-        r_sso = rr[:, IDX_SSO]
+        xt = x["x"]                       # dict of [B] channels
+
+        def g(name):
+            return xt[name]
+
+        cashr = g("cash")                 # [B]
+        reg1 = g("regime") == 1.0         # [B] bool (regime is 0/1)
+        r_tqqq = g(f"r{IDX_TQQQ}")
+        r_spy = g(f"r{IDX_SPY}")
+        r_sso = g(f"r{IDX_SSO}")
 
         rets = []           # per-strategy [B] daily return
         traded = []         # per-strategy [B] bool (counted as a trade)
@@ -219,8 +215,8 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         tj_value = jnp.zeros((B, N_TAX), dt)
         tj_price = jnp.zeros((B, N_TAX), dt)
         tj_asset = jnp.full((B, N_TAX), IDX_TQQQ, jnp.int8)
-        tqqq_price = x["price"][:, IDX_TQQQ]
-        spy_asset_price = x["price"][:, IDX_SPY]
+        tqqq_price = g(f"price{IDX_TQQQ}")
+        spy_asset_price = g(f"price{IDX_SPY}")
 
         def emit(col, do, alloc, eq_prev, price, asset=IDX_TQQQ):
             nonlocal tj_alloc, tj_value, tj_price, tj_asset
@@ -242,8 +238,8 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
             allocs_new.append(prev_alloc[len(rets) - 1])
 
         # ---- S4/S5 SMA state machines ----
-        pp = x["spy_price_prev"]
-        sma1 = x["sma200_mp1_prev"]
+        pp = g("spy_price_prev")
+        sma1 = g("sma200_mp1_prev")
         buy4 = pp >= sma1                      # NaN-safe: NaN -> False
         buy4 = jnp.where(jnp.isnan(pp) | jnp.isnan(sma1), False, buy4)
         sell4 = pp < sma1
@@ -261,7 +257,7 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         new5 = jnp.where(first, pos5, new5)
         flip5 = new5 != pos5
 
-        sma_cost = (spread_bps[reg] / 10000.0
+        sma_cost = (jnp.where(reg1, spread_bps[1], spread_bps[0]) / 10000.0
                     + cfg.REBALANCE_COST_PER_DOLLAR * tqqq_lev * jnp.abs(r_tqqq))
         for newp, flip in ((new4, flip4), (new5, flip5)):
             ret_s = jnp.where(newp == 1, r_tqqq, cashr)
@@ -274,7 +270,7 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         # ---- S6 60/40 TQQQ/TMF with leverage-drift turnover ----
         # Component-wise over the two sleeves (same math as the stacked
         # [B, 2] form, lane-packed over trials).
-        r6a, r6b = rr[:, s6_assets[0]], rr[:, s6_assets[1]]
+        r6a, r6b = g(f"r{s6_assets[0]}"), g(f"r{s6_assets[1]}")
         pg0 = s6_pos0 * (1.0 + r6a)
         pg1 = s6_pos1 * (1.0 + r6b)
         u6a, u6b = r6a / s6_lev_a, r6b / s6_lev_b
@@ -309,7 +305,7 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         allocs_new.append(prev_alloc[5])
 
         # ---- S7 vol targeting 20% (NO cash on idle fraction) ----
-        v7 = x["std20_mp20_cur"]
+        v7 = g("std20_mp20_cur")
         pos7 = jnp.where(jnp.isnan(v7) | (v7 < 0.01), 1.0,
                          jnp.clip(0.20 / v7, 0.2, 2.0))
         ret7, tr7, new_a7 = _vol_family_step(pos7, prev_alloc[6], r_tqqq,
@@ -319,10 +315,10 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret7); traded.append(tr7); allocs_new.append(new_a7)
 
         # ---- S8 composite regime (TQQQ / SPY / cash; NO costs) ----
-        price8 = x["spy_price_prev"]
-        sma8 = x["sma200_prev"]
-        rsi8 = x["rsi14_prev"]
-        vix8 = x["vix_prev"]
+        price8 = g("spy_price_prev")
+        sma8 = g("sma200_prev")
+        rsi8 = g("rsi14_prev")
+        vix8 = g("vix_prev")
         sc = (jnp.where(jnp.isnan(price8) | jnp.isnan(sma8), 0,
                         (price8 > sma8).astype(jnp.int32))
               + jnp.where(jnp.isnan(rsi8), 0,
@@ -344,9 +340,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret8); traded.append(switch8); allocs_new.append(prev_alloc[7])
 
         # ---- S9 adaptive vol target (skips NaN days entirely) ----
-        v9 = x["std20_mp20_prev"]
-        sma9 = x["sma200_prev"]
-        p9 = x["spy_price_prev"]
+        v9 = g("std20_mp20_prev")
+        sma9 = g("sma200_prev")
+        p9 = g("spy_price_prev")
         skip9 = jnp.isnan(v9) | jnp.isnan(sma9) | (v9 < 0.001)
         bull9 = p9 > sma9
         target_v9 = jnp.where(bull9, 0.35, 0.12)
@@ -360,7 +356,7 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret9); traded.append(tr9); allocs_new.append(new_a9)
 
         # ---- S10 Sortino (downside vol target) ----
-        dv10 = x["dstd20_mp20_prev"]
+        dv10 = g("dstd20_mp20_prev")
         alloc10 = jnp.where(jnp.isnan(dv10) | (dv10 < 0.001), 1.0,
                             jnp.clip(0.15 / dv10, 0.0, 1.5))
         ret10, tr10, new_a10 = _vol_family_step(alloc10, prev_alloc[9],
@@ -369,12 +365,12 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret10); traded.append(tr10); allocs_new.append(new_a10)
 
         # ---- S11 hyper-convex ----
-        v11 = _nan_to(x["std20_prev"], 0.5)
+        v11 = _nan_to(g("std20_prev"), 0.5)
         v11 = jnp.where(v11 < 0.001, 0.5, v11)
         alloc11 = 0.25 / v11
-        bull11 = x["spy_price_prev"] > x["sma200_mp1_prev"]
-        bull11 = jnp.where(jnp.isnan(x["spy_price_prev"])
-                           | jnp.isnan(x["sma200_mp1_prev"]), False, bull11)
+        bull11 = g("spy_price_prev") > g("sma200_mp1_prev")
+        bull11 = jnp.where(jnp.isnan(g("spy_price_prev"))
+                           | jnp.isnan(g("sma200_mp1_prev")), False, bull11)
         alloc11 = jnp.where(bull11, alloc11 ** 1.2, alloc11)
         alloc11 = jnp.clip(alloc11, 0.0, 1.0)
         ret11, tr11, new_a11 = _vol_family_step(alloc11, prev_alloc[10],
@@ -383,7 +379,7 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret11); traded.append(tr11); allocs_new.append(new_a11)
 
         # ---- S12 vol velocity (max of fast/slow vols) ----
-        v12 = jnp.maximum(x["std20_prev"], x["std5_prev"])  # NaN -> NaN
+        v12 = jnp.maximum(g("std20_prev"), g("std5_prev"))  # NaN -> NaN
         v12 = jnp.where(jnp.isnan(v12) | (v12 < 0.001), 0.5, v12)
         alloc12 = jnp.clip(0.22 / v12, 0.0, 1.0)
         ret12, tr12, new_a12 = _vol_family_step(alloc12, prev_alloc[11],
@@ -392,9 +388,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret12); traded.append(tr12); allocs_new.append(new_a12)
 
         # ---- S13 vol-of-vol momentum ----
-        v13 = jnp.where(jnp.isnan(x["std20_prev"]) | (x["std20_prev"] < 0.001),
-                        0.5, x["std20_prev"])
-        vm13 = x["volmom5_prev"]
+        v13 = jnp.where(jnp.isnan(g("std20_prev")) | (g("std20_prev") < 0.001),
+                        0.5, g("std20_prev"))
+        vm13 = g("volmom5_prev")
         alloc13 = 0.25 / v13
         alloc13 = jnp.where(~jnp.isnan(vm13) & (vm13 < -0.10),
                             alloc13 * 1.2, alloc13)
@@ -407,9 +403,9 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret13); traded.append(tr13); allocs_new.append(new_a13)
 
         # ---- S14 skewness-adjusted convex ----
-        v14 = jnp.where(jnp.isnan(x["std20_prev"]) | (x["std20_prev"] < 0.001),
-                        0.5, x["std20_prev"])
-        s14 = x["skew60_prev"]
+        v14 = jnp.where(jnp.isnan(g("std20_prev")) | (g("std20_prev") < 0.001),
+                        0.5, g("std20_prev"))
+        s14 = g("skew60_prev")
         alloc14 = 0.25 / v14
         alloc14 = jnp.where(~jnp.isnan(s14) & (s14 > 0), alloc14 ** 1.3, alloc14)
         alloc14 = jnp.where(~jnp.isnan(s14) & (s14 < -0.5), alloc14 * 0.5, alloc14)
@@ -420,15 +416,15 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret14); traded.append(tr14); allocs_new.append(new_a14)
 
         # ---- S15 meta-ensemble ----
-        dv15 = jnp.where(jnp.isnan(x["dstd20_prev"]) | (x["dstd20_prev"] < 0.001),
-                         0.25, x["dstd20_prev"])
+        dv15 = jnp.where(jnp.isnan(g("dstd20_prev")) | (g("dstd20_prev") < 0.001),
+                         0.25, g("dstd20_prev"))
         alloc15 = 0.28 / dv15
-        bull15 = x["spy_price_prev"] > x["sma200_mp1_prev"]
-        bull15 = jnp.where(jnp.isnan(x["spy_price_prev"])
-                           | jnp.isnan(x["sma200_mp1_prev"]), False, bull15)
+        bull15 = g("spy_price_prev") > g("sma200_mp1_prev")
+        bull15 = jnp.where(jnp.isnan(g("spy_price_prev"))
+                           | jnp.isnan(g("sma200_mp1_prev")), False, bull15)
         alloc15 = jnp.where(bull15, alloc15 ** 1.2, alloc15)
-        brake15 = x["std5_prev"] > 1.5 * x["std20_prev"]
-        brake15 = jnp.where(jnp.isnan(x["std5_prev"]) | jnp.isnan(x["std20_prev"]),
+        brake15 = g("std5_prev") > 1.5 * g("std20_prev")
+        brake15 = jnp.where(jnp.isnan(g("std5_prev")) | jnp.isnan(g("std20_prev")),
                             False, brake15)
         alloc15 = jnp.where(brake15, alloc15 * 0.5, alloc15)
         alloc15 = jnp.clip(alloc15, 0.0, 1.0)
@@ -438,11 +434,11 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret15); traded.append(tr15); allocs_new.append(new_a15)
 
         # ---- S16 crisis alpha (regime asymmetric) ----
-        vr16 = x["std5_prev"] / x["std60_prev"]
-        crisis16 = (x["vix"] > 25.0) | jnp.where(jnp.isnan(vr16), False,
+        vr16 = g("std5_prev") / g("std60_prev")
+        crisis16 = (g("vix") > 25.0) | jnp.where(jnp.isnan(vr16), False,
                                                  vr16 > 1.5)
         target16 = jnp.where(crisis16, 0.08, 0.30)
-        rv16 = x["std5_prev"]
+        rv16 = g("std5_prev")
         alloc16 = jnp.where(jnp.isnan(rv16) | (rv16 < 0.001), 0.5,
                             jnp.clip(target16 / rv16, 0.0, 1.2))
         ret16, tr16, new_a16 = _vol_family_step(alloc16, prev_alloc[15],
@@ -451,12 +447,12 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret16); traded.append(tr16); allocs_new.append(new_a16)
 
         # ---- S17 tail-risk optimizer (skew-aware Kelly) ----
-        vol17 = jnp.where(jnp.isnan(x["std20_prev"]) | (x["std20_prev"] < 0.001),
-                          0.25, x["std20_prev"])
-        dvol17 = jnp.where(jnp.isnan(x["dstd20_prev"]) | (x["dstd20_prev"] < 0.001),
-                           vol17 * 0.6, x["dstd20_prev"])
-        skew17 = _nan_to(x["skew60_prev"], 0.0)
-        mean17 = _nan_to(x["mean60_prev"], 0.08)
+        vol17 = jnp.where(jnp.isnan(g("std20_prev")) | (g("std20_prev") < 0.001),
+                          0.25, g("std20_prev"))
+        dvol17 = jnp.where(jnp.isnan(g("dstd20_prev")) | (g("dstd20_prev") < 0.001),
+                           vol17 * 0.6, g("dstd20_prev"))
+        skew17 = _nan_to(g("skew60_prev"), 0.0)
+        mean17 = _nan_to(g("mean60_prev"), 0.08)
         eff17 = jnp.where(skew17 < -0.5, dvol17 * 1.5,
                           jnp.where(skew17 < 0, dvol17 * 1.2,
                                     jnp.where(skew17 > 0.5, vol17 * 0.9, vol17)))
@@ -473,11 +469,11 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret17); traded.append(tr17); allocs_new.append(new_a17)
 
         # ---- S18 momentum-vol convergence ----
-        mom18 = _nan_to(x["sum126_prev"], 0.0)
-        vf18 = jnp.where(jnp.isnan(x["std10_prev"]) | (x["std10_prev"] < 0.001),
-                         0.30, x["std10_prev"])
-        vs18 = jnp.where(jnp.isnan(x["std60_prev"]) | (x["std60_prev"] < 0.001),
-                         0.25, x["std60_prev"])
+        mom18 = _nan_to(g("sum126_prev"), 0.0)
+        vf18 = jnp.where(jnp.isnan(g("std10_prev")) | (g("std10_prev") < 0.001),
+                         0.30, g("std10_prev"))
+        vs18 = jnp.where(jnp.isnan(g("std60_prev")) | (g("std60_prev") < 0.001),
+                         0.25, g("std60_prev"))
         mm18 = jnp.where(mom18 > 0.05, 1.3, jnp.where(mom18 > 0, 1.0, 0.5))
         vr18 = vf18 / vs18
         vm18 = jnp.where(vr18 < 0.8, 1.2, jnp.where(vr18 > 1.3, 0.6, 1.0))
@@ -489,19 +485,19 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
         rets.append(ret18); traded.append(tr18); allocs_new.append(new_a18)
 
         # ---- S19 conviction compounder (5% rebalance threshold) ----
-        mom19 = _nan_to(x["sum126_prev"], 0.0)
-        dv19 = jnp.where(jnp.isnan(x["dstd20_prev"]) | (x["dstd20_prev"] < 0.001),
-                         0.20, x["dstd20_prev"])
-        vf19 = jnp.where(jnp.isnan(x["std5_prev"]) | (x["std5_prev"] < 0.001),
-                         0.30, x["std5_prev"])
-        vs19 = jnp.where(jnp.isnan(x["std60_prev"]) | (x["std60_prev"] < 0.001),
-                         0.25, x["std60_prev"])
+        mom19 = _nan_to(g("sum126_prev"), 0.0)
+        dv19 = jnp.where(jnp.isnan(g("dstd20_prev")) | (g("dstd20_prev") < 0.001),
+                         0.20, g("dstd20_prev"))
+        vf19 = jnp.where(jnp.isnan(g("std5_prev")) | (g("std5_prev") < 0.001),
+                         0.30, g("std5_prev"))
+        vs19 = jnp.where(jnp.isnan(g("std60_prev")) | (g("std60_prev") < 0.001),
+                         0.25, g("std60_prev"))
         mom_score = jnp.where(mom19 > 0.15, 1.0,
                               jnp.where(mom19 > 0.05, 0.7,
                                         jnp.where(mom19 > 0, 0.4, 0.0)))
-        trend19 = x["spy_price_prev"] > x["sma100_mp1_prev"]
-        trend19 = jnp.where(jnp.isnan(x["spy_price_prev"])
-                            | jnp.isnan(x["sma100_mp1_prev"]), False, trend19)
+        trend19 = g("spy_price_prev") > g("sma100_mp1_prev")
+        trend19 = jnp.where(jnp.isnan(g("spy_price_prev"))
+                            | jnp.isnan(g("sma100_mp1_prev")), False, trend19)
         trend_score = jnp.where(trend19, 0.5, 0.0)
         vr19 = vf19 / vs19
         vol_score = jnp.where(vr19 < 0.9, 0.5, jnp.where(vr19 < 1.2, 0.3, 0.0))
