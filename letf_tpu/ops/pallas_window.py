@@ -1,0 +1,136 @@
+"""Pallas TPU kernel: per-trial offset windowing (random-start slice).
+
+The 'offset' random-start method (reference random_start.py:33-57) takes a
+per-trial window ``out[b, s] = x[b, s + offs[b]]`` out of the buffered
+path. As a gather this is the single most expensive op in the batched
+engine (~20x the cost of the surrounding math); the XLA shift-select tree
+(path_batched.py) cuts that to ~11 dense passes; this kernel cuts it to
+~one: each grid program holds a [day_block + max_off, 128-trial] tile in
+VMEM and applies the binary shift-select tree at VMEM speed
+(log2(max_off) roll + bitwise-select levels).
+
+Blocks along the day axis overlap by max_off rows; BlockSpec cannot express
+overlap, so each program gets TWO aligned inputs — the body block and a
+lookahead tail (duplicated on the XLA side; ~max_off/day_block extra reads).
+
+The per-lane select is bitwise ((r & m) | (x & ~m), m = 0/-1): NaN-exact,
+and — critically — Mosaic crashes outright on two or more lane-broadcast
+jnp.where ops over a large tile (observed on libtpu/v5e, 2026-08).
+
+Pure data movement — output is bit-identical to the gather, so the
+interpret-mode test asserts exact equality (no statistical tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_ROW_BUDGET = 4096   # VMEM rows per working tile (~8 MB with pipelining)
+
+
+def _pick_day_block(sim_days: int, max_off_pad: int) -> int | None:
+    """Largest divisor of sim_days that is a multiple of 8 and keeps the
+    working tile (day_block + max_off_pad rows) within budget."""
+    best = None
+    for db in range(8, sim_days + 1, 8):
+        if sim_days % db == 0 and db + max_off_pad <= _ROW_BUDGET:
+            best = db
+    return best
+
+
+def fits_vmem(T: int, sim_days: int, itemsize: int = 4) -> bool:
+    max_off_pad = -(-(T - sim_days) // 8) * 8
+    return _pick_day_block(sim_days, max_off_pad) is not None
+
+
+def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, *, n_levels: int,
+                   day_block: int):
+    """One (slab, day-block) program.
+
+    offs_ref: [tiles, 128] int32 per-trial offsets (full array in VMEM)
+    body_ref: [1, day_block, 128] aligned day block
+    tail_ref: [1, 1, max_off_pad, 128] lookahead rows following the block
+    out_ref:  [1, day_block, 128] windowed output
+    """
+    g = pl.program_id(0)
+    n_tiles = offs_ref.shape[0]
+    x = pltpu.bitcast(
+        jnp.concatenate([body_ref[0], tail_ref[0, 0]], axis=0), jnp.int32)
+    rows = x.shape[0]
+    offs = offs_ref[g % n_tiles, :]
+    # MSB-first binary shift-select: after level k the remaining per-lane
+    # shift is < 2^k, so out rows [0, day_block) are valid at the end
+    # (wrapped garbage stays beyond day_block + remaining shift).
+    for k in reversed(range(n_levels)):
+        shift = (1 << k) % rows
+        mask = -((offs >> k) & 1)                 # 0 or all-ones, per lane
+        rolled = pltpu.roll(x, rows - shift, 0)   # roll right by rows-shift
+        x = (rolled & mask[None, :]) | (x & ~mask[None, :])
+    out_ref[0] = pltpu.bitcast(x[:day_block], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sim_days", "interpret"))
+def window_offsets_pallas(packed, offs, sim_days: int,
+                          interpret: bool = False):
+    """packed: [C, T, B] f32 (B a multiple of 128); offs: [B] int32 in
+    [0, T - sim_days]. Returns [C, sim_days, B] with
+    out[c, s, b] = packed[c, s + offs[b], b].
+    """
+    C, T, B = packed.shape
+    assert B % _LANES == 0, B
+    assert packed.dtype == jnp.float32, packed.dtype   # bitwise select path
+    max_off = T - sim_days
+    n_levels = max(1, int(max_off).bit_length())
+    max_off_pad = -(-max_off // 8) * 8
+    day_block = _pick_day_block(sim_days, max_off_pad)
+    assert day_block is not None, (T, sim_days)
+    n_blocks = sim_days // day_block
+
+    # Pad T so the last tail slice is in bounds:
+    # n_blocks*day_block + max_off_pad = T + (max_off_pad - max_off).
+    T_pad = T + (max_off_pad - max_off)
+    if T_pad != T:
+        packed = jnp.pad(packed, ((0, 0), (0, T_pad - T), (0, 0)))
+
+    # Full-lane slabs: [C, T_pad, B] -> [G = C*B/128, T_pad, 128] so no DMA
+    # ever slices the lane dimension.
+    tiles = B // _LANES
+    slabs = (packed.reshape(C, T_pad, tiles, _LANES)
+             .transpose(0, 2, 1, 3)
+             .reshape(C * tiles, T_pad, _LANES))
+    offs_tiles = offs.reshape(tiles, _LANES).astype(jnp.int32)
+
+    body = slabs[:, :sim_days]
+    # tails[g, j] = slabs[g, (j+1)*day_block : (j+1)*day_block+max_off_pad]
+    tails = jnp.stack(
+        [slabs[:, (j + 1) * day_block:(j + 1) * day_block + max_off_pad]
+         for j in range(n_blocks)], axis=1)   # [G, n_blocks, max_off_pad, 128]
+
+    kernel = functools.partial(_window_kernel, n_levels=n_levels,
+                               day_block=day_block)
+    out = pl.pallas_call(
+        kernel,
+        grid=(C * tiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # offs: full array
+            pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, max_off_pad, _LANES),
+                         lambda g, j: (g, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C * tiles, sim_days, _LANES),
+                                       packed.dtype),
+        interpret=interpret,
+    )(offs_tiles, body, tails)
+    return (out.reshape(C, tiles, sim_days, _LANES)
+            .transpose(0, 2, 1, 3)
+            .reshape(C, sim_days, B))

@@ -647,32 +647,52 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
         regime, vix, irx = regime_full, vix_full, irx_full
         spy, qqq, tlt = x_full[..., 0], x_full[..., 1], x_full[..., 2]
     else:
-        # Windowing at per-trial offsets: a binary shift-select tree over
-        # ONE packed tensor. Each of the ~11 levels conditionally rolls the
-        # time axis left by 2^k — dense copies + selects only, no gather
-        # (a take_along_axis here costs ~20x more on TPU; rolled-in wrap
-        # garbage lands beyond sim_days because total shift <= T - S).
+        # Windowing at per-trial offsets (never a gather — a take_along_axis
+        # here costs ~20x the surrounding math on TPU):
+        # - TPU/f32 production: one-pass Pallas kernel (VMEM shift-select).
+        # - elsewhere (CPU tests, f64 parity): XLA binary shift-select tree
+        #   — ~11 dense conditional rolls; both are bit-identical to the
+        #   gather (pure data movement).
         dt = x_full.dtype
         offs = innov.start_offset                       # [B]
-        packed = jnp.concatenate([
-            x_full, vix_full[..., None], irx_full[..., None],
-            regime_full.astype(dt)[..., None]], axis=-1)        # [B, T, 6]
-        max_off = T - sim_days
-        for k in reversed(range(max(1, int(max_off).bit_length()))):
-            # MSB-first: once bit k is applied the remaining shift is at
-            # most 2^k - 1, so the working tensor truncates to
-            # sim_days + 2^k - 1 — the early (largest) levels shrink the
-            # copies the later levels pay for.
-            shift = 1 << k
-            bit = ((offs >> k) & 1) > 0
-            rolled = jnp.concatenate(
-                [packed[:, shift:], packed[:, :shift]], axis=1)
-            packed = jnp.where(bit[:, None, None], rolled,
-                               packed)[:, :sim_days + shift - 1]
-        w = packed[:, :sim_days]
-        spy, qqq, tlt = w[..., 0], w[..., 1], w[..., 2]
-        vix, irx = w[..., 3], w[..., 4]
-        regime = w[..., 5].astype(jnp.int32)
+        from letf_tpu.ops.pallas_window import (
+            fits_vmem,
+            window_offsets_pallas,
+        )
+
+        use_kernel = (jax.default_backend() == "tpu" and dt == jnp.float32
+                      and B % 128 == 0 and fits_vmem(T, sim_days))
+        if use_kernel:
+
+            packed = jnp.stack([
+                x_full[..., 0], x_full[..., 1], x_full[..., 2],
+                vix_full, irx_full, regime_full.astype(dt)],
+                axis=0).transpose(0, 2, 1)                      # [6, T, B]
+            w = window_offsets_pallas(packed, offs, sim_days)   # [6, S, B]
+            spy, qqq, tlt = (jnp.moveaxis(w[c], 0, 1) for c in range(3))
+            vix = jnp.moveaxis(w[3], 0, 1)
+            irx = jnp.moveaxis(w[4], 0, 1)
+            regime = jnp.moveaxis(w[5], 0, 1).astype(jnp.int32)
+        else:
+            packed = jnp.concatenate([
+                x_full, vix_full[..., None], irx_full[..., None],
+                regime_full.astype(dt)[..., None]], axis=-1)    # [B, T, 6]
+            max_off = T - sim_days
+            for k in reversed(range(max(1, int(max_off).bit_length()))):
+                # MSB-first: once bit k is applied the remaining shift is
+                # at most 2^k - 1, so the working tensor truncates to
+                # sim_days + 2^k - 1 — the early (largest) levels shrink
+                # the copies the later levels pay for.
+                shift = 1 << k
+                bit = ((offs >> k) & 1) > 0
+                rolled = jnp.concatenate(
+                    [packed[:, shift:], packed[:, :shift]], axis=1)
+                packed = jnp.where(bit[:, None, None], rolled,
+                                   packed)[:, :sim_days + shift - 1]
+            w = packed[:, :sim_days]
+            spy, qqq, tlt = w[..., 0], w[..., 1], w[..., 2]
+            vix, irx = w[..., 3], w[..., 4]
+            regime = w[..., 5].astype(jnp.int32)
 
     if use_stress:
         liq, cred, jump = simulate_stress_batched(

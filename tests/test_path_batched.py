@@ -100,6 +100,23 @@ def test_repair_pass_bounds_invalid_paths(model):
     assert bool(path.valid[1])
 
 
+def test_window_offsets_pallas_interpret_exact():
+    """The Pallas windowing kernel is pure data movement: interpret-mode
+    output must equal the gather bit-for-bit (incl. NaN payloads)."""
+    from letf_tpu.ops.pallas_window import window_offsets_pallas
+
+    T, S, C, B = 380, 256, 4, 256
+    x = jax.random.normal(jax.random.key(0), (C, T, B), jnp.float32)
+    x = x.at[0, 3, 7].set(jnp.nan)
+    offs = np.random.default_rng(1).integers(0, T - S + 1, B).astype(np.int32)
+    offs[0], offs[1] = 0, T - S
+    ref = jnp.take_along_axis(
+        x, jnp.asarray(offs)[None, None, :] + jnp.arange(S)[None, :, None],
+        axis=1)
+    got = window_offsets_pallas(x, jnp.asarray(offs), S, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_chi2_from_normal_quantile_exact():
     """The Chebyshev log-quantile sampler must match scipy's chi-square
     quantile function to <2e-4 relative across +-6.2 sigma for the nu range
