@@ -187,11 +187,74 @@ def validate_monte_carlo_vs_historical(df: pd.DataFrame,
     return out
 
 
+_TABLE_PCTS = (5, 10, 25, 50, 75, 90, 95)
+
+
+def _percentile_table(hist: np.ndarray, sim: np.ndarray) -> Dict[str, Dict]:
+    """Percentile-by-percentile rank table (historical.py:509-518)."""
+    table = {}
+    for p in _TABLE_PCTS:
+        hv = float(np.percentile(hist, p))
+        sv = float(np.percentile(sim, p))
+        table[f"p{p}"] = {"historical": hv, "simulated": sv,
+                          "difference": sv - hv}
+    return table
+
+
+def _print_percentile_table(table: Dict[str, Dict]) -> None:
+    print(f"     {'Percentile':<12} {'Historical':>12} {'Simulated':>12} "
+          f"{'Difference':>12}")
+    print(f"     {'-' * 50}")
+    for name, row in table.items():
+        print(f"     {name.upper():<12} {row['historical'] * 100:>+11.2f}% "
+              f"{row['simulated'] * 100:>+11.2f}% "
+              f"{row['difference'] * 100:>+11.2f}%")
+
+
+def _rankings(hist: np.ndarray, sim: np.ndarray) -> Dict[str, float]:
+    """Cross percentile rankings (historical.py:473-481)."""
+    return {
+        "hist_median_percentile_in_sim": find_percentile_rank(
+            float(np.median(hist)), sim),
+        "sim_median_percentile_in_hist": find_percentile_rank(
+            float(np.median(sim)), hist),
+    }
+
+
+def backtest_strategy_on_history(df: pd.DataFrame, sid: str, horizon: int,
+                                 max_windows: int = 8,
+                                 real_only: bool = True) -> np.ndarray:
+    """CAGRs of a NON-benchmark strategy backtested on rolling
+    `horizon`-year windows of real history, with regimes inferred from VIX
+    (the reference's regime_path=None path, historical.py:96-102). Annual
+    stride, most recent ``max_windows`` windows."""
+    data = df
+    asset = cfg.STRATEGIES[sid].get("asset", "TQQQ")
+    syn_col = f"{asset}_IsSynthetic"
+    if real_only and syn_col in df.columns:
+        data = df[~df[syn_col]]
+    window = int(horizon * 252)
+    n = len(data)
+    if n < window + 1:
+        return np.array([])
+    starts = np.arange(n - window, -1, -252)[:max_windows]
+    cagrs = []
+    for s in starts:
+        sub = data.iloc[s:s + window]
+        equity, _ = run_strategy_on_history(sub, sid)
+        total = float(equity.iloc[-1]) / cfg.INITIAL_CAPITAL
+        if total > 0:
+            cagrs.append(total ** (1.0 / horizon) - 1.0)
+    return np.array(cagrs[::-1])
+
+
 def compare_simulated_vs_historical(df: pd.DataFrame,
                                     mc_results: Dict[str, List[Dict]],
-                                    horizon: int) -> Dict:
-    """Real-data (post-inception) comparison with quality scores
-    (historical.py:364-629)."""
+                                    horizon: int,
+                                    backtest_sids: tuple = ("S4",)) -> Dict:
+    """Real-data (post-inception) comparison with quality scores,
+    percentile rank tables, and strategy-on-history backtests
+    (historical.py:364-629 + :85-104)."""
     print(f"\n{'=' * 90}")
     print(f"HISTORICAL VALIDATION ({horizon}Y rolling windows, real data only)")
     print(f"{'=' * 90}")
@@ -205,11 +268,49 @@ def compare_simulated_vs_historical(df: pd.DataFrame,
             print(f"  {sid} ({asset:>4}): insufficient real history for "
                   f"{horizon}Y windows (n={score['n_hist']})")
             continue
-        print(f"  {sid} ({asset:>4}): hist median {score['median_hist']:+.1%} "
+        score["rankings"] = _rankings(hist, sim)
+        score["percentile_table"] = _percentile_table(hist, sim)
+        print(f"\n  {sid} ({asset:>4}): hist median {score['median_hist']:+.1%} "
               f"vs sim {score['median_sim']:+.1%} | overlap "
               f"{score['overlap']:.0%} | spearman "
               f"{score['percentile_corr']['spearman']:.2f} | "
               f"quality {score['quality_score']:.0f}/100")
+        rk = score["rankings"]
+        print(f"     Historical median would be "
+              f"P{rk['hist_median_percentile_in_sim']:.0f} in simulation; "
+              f"simulated median would be "
+              f"P{rk['sim_median_percentile_in_hist']:.0f} in history")
+        _print_percentile_table(score["percentile_table"])
+
+    # Strategy-on-history: backtest non-benchmark strategies on real data
+    # and rank each realized window inside the simulated distribution
+    # (reference historical.py:96-102 via run_strategy_fixed with
+    # VIX-inferred regimes).
+    for sid in backtest_sids:
+        if sid not in mc_results:
+            continue
+        sim = _sim_cagrs(mc_results, sid, horizon)
+        hist = backtest_strategy_on_history(df, sid, horizon)
+        entry = {"n_windows": len(hist), "n_sim": len(sim)}
+        if len(hist) > 0 and len(sim) >= 5:
+            ranks = [find_percentile_rank(c, sim) for c in hist]
+            entry.update({
+                "hist_cagrs": hist.tolist(),
+                "hist_median": float(np.median(hist)),
+                "sim_median": float(np.median(sim)),
+                "window_sim_percentiles": ranks,
+                "median_sim_percentile": float(np.median(ranks)),
+            })
+            name = cfg.STRATEGIES[sid]["name"]
+            print(f"\n  {sid} ({name}) backtested on history: "
+                  f"{len(hist)} window(s), median CAGR "
+                  f"{entry['hist_median']:+.1%} -> "
+                  f"P{entry['median_sim_percentile']:.0f} of its simulated "
+                  f"distribution (sim median {entry['sim_median']:+.1%})")
+        else:
+            print(f"\n  {sid}: insufficient real history for a "
+                  f"{horizon}Y strategy backtest")
+        out[f"{sid}_backtest"] = entry
     return out
 
 
@@ -229,29 +330,84 @@ def compare_simulated_vs_synthetic_historical(df: pd.DataFrame,
         score = _score_comparison(hist, sim)
 
         # Extreme-event ranking: where do the worst/best realized windows
-        # fall within the simulated distribution?
+        # fall within the simulated distribution, and WHEN did they start
+        # (historical.py:1005-1032 narrative)?
         extremes = {}
         if len(hist) >= 5 and len(sim) >= 5:
-            worst, best = float(np.min(hist)), float(np.max(hist))
+            worst_i, best_i = int(np.argmin(hist)), int(np.argmax(hist))
+            worst, best = float(hist[worst_i]), float(hist[best_i])
             extremes = {
                 "worst_window_cagr": worst,
                 "worst_window_sim_percentile": find_percentile_rank(worst, sim),
                 "best_window_cagr": best,
                 "best_window_sim_percentile": find_percentile_rank(best, sim),
             }
+            # Window start dates: rolling windows stride 21 days over the
+            # full frame (same construction as the CAGR computation).
+            if hasattr(df.index, "strftime") or hasattr(df.index, "date"):
+                starts = df.index[::21]
+                if worst_i < len(starts):
+                    extremes["worst_window_start"] = str(starts[worst_i])[:10]
+                if best_i < len(starts):
+                    extremes["best_window_start"] = str(starts[best_i])[:10]
         score["extreme_events"] = extremes
         out[sid] = score
         if np.isnan(score["median_hist"]):
             print(f"  {sid} ({asset:>4}): insufficient history")
             continue
-        line = (f"  {sid} ({asset:>4}): hist median {score['median_hist']:+.1%}"
-                f" vs sim {score['median_sim']:+.1%} | overlap "
-                f"{score['overlap']:.0%} | quality "
-                f"{score['quality_score']:.0f}/100")
+        score["rankings"] = _rankings(hist, sim)
+        score["percentile_table"] = _percentile_table(hist, sim)
+        print(f"\n  {sid} ({asset:>4}): hist median {score['median_hist']:+.1%}"
+              f" vs sim {score['median_sim']:+.1%} | overlap "
+              f"{score['overlap']:.0%} | quality "
+              f"{score['quality_score']:.0f}/100")
+        _print_percentile_table(score["percentile_table"])
         if extremes:
-            line += (f" | worst window {extremes['worst_window_cagr']:+.1%} "
-                     f"at sim P{extremes['worst_window_sim_percentile']:.0f}")
-        print(line)
+            w_start = extremes.get("worst_window_start", "")
+            b_start = extremes.get("best_window_start", "")
+            print(f"     Worst {horizon}Y window "
+                  f"{extremes['worst_window_cagr']:+.2%}"
+                  + (f" (starting {w_start})" if w_start else "")
+                  + f" -> sim P{extremes['worst_window_sim_percentile']:.0f}")
+            print(f"     Best  {horizon}Y window "
+                  f"{extremes['best_window_cagr']:+.2%}"
+                  + (f" (starting {b_start})" if b_start else "")
+                  + f" -> sim P{extremes['best_window_sim_percentile']:.0f}")
+
+    # Overall ranked summary (historical.py:1066-1096).
+    scored = {sid: s for sid, s in out.items()
+              if not np.isnan(s.get("median_hist", np.nan))}
+    if scored:
+        avg_quality = float(np.mean([s["quality_score"]
+                                     for s in scored.values()]))
+        avg_overlap = float(np.mean([s["overlap"] for s in scored.values()]))
+        avg_corr = float(np.mean([s["percentile_corr"]["spearman"]
+                                  for s in scored.values()]))
+        ranked = sorted(scored.items(), key=lambda kv: -kv[1]["quality_score"])
+        print(f"\n  {'-' * 70}")
+        print("  RANKED ASSET SUMMARY (by quality score)")
+        for rank, (sid, s) in enumerate(ranked, 1):
+            print(f"    {rank}. {sid} ({_BENCHMARK_ASSETS[sid]:>4}): "
+                  f"quality {s['quality_score']:.0f}/100, overlap "
+                  f"{s['overlap']:.0%}, spearman "
+                  f"{s['percentile_corr']['spearman']:.2f}")
+        print(f"  Average quality {avg_quality:.0f}/100 | overlap "
+              f"{avg_overlap:.0%} | spearman {avg_corr:.3f}")
+        if avg_quality >= 70:
+            print("  SIMULATION VALIDATED: Monte Carlo matches "
+                  "synthetic+historical patterns well")
+        elif avg_quality >= 50:
+            print("  SIMULATION PARTIALLY VALIDATED: some discrepancies "
+                  "with synthetic history")
+        else:
+            print("  SIMULATION CONCERNS: significant differences from "
+                  "synthetic historical patterns")
+        out["summary"] = {
+            "avg_quality_score": avg_quality,
+            "avg_overlap": avg_overlap,
+            "avg_spearman": avg_corr,
+            "ranking": [sid for sid, _ in ranked],
+        }
     return out
 
 

@@ -26,14 +26,51 @@ import numpy as np
 from letf_tpu import config as cfg
 
 
-@functools.partial(jax.jit, static_argnames=("n_sims", "n_days"))
-def _zero_drift_median_return(key, leverage: float, daily_std: float,
-                              n_sims: int, n_days: int):
-    """Median annual compound return of Lx zero-drift normal paths, computed
-    in log space: sum(log1p(L * r)) per path, all paths at once."""
-    z = jax.random.normal(key, (n_sims, n_days)) * daily_std
-    logs = jnp.log1p(leverage * z)
-    return jnp.median(jnp.expm1(jnp.sum(logs, axis=1)))
+def _engine_zero_drift_median(key, leverage: float, daily_std: float,
+                              n_sims: int, n_days: int) -> float:
+    """Median annual compound return of Lx zero-drift paths, driven through
+    the SHIPPED cost/compounding path — compose_letf_returns
+    (ops/path_engine.py) with zero expense/borrow — so the invariant fails
+    if anyone breaks the engine's leverage/financing math (SURVEY §4: 'same
+    tests re-expressed against TPU kernels', reference validation.py:18-87).
+    """
+    from letf_tpu.models.params import default_sim_model
+    from letf_tpu.ops.path_engine import _to_device, compose_letf_returns
+
+    model = default_sim_model()
+    A = model.assets
+    zero = np.zeros_like(np.asarray(A.expense_ratio, np.float64))
+    model = model._replace(assets=A._replace(
+        leverage=np.full_like(zero, leverage),
+        expense_ratio=zero, fallback_spread=zero))
+
+    @functools.partial(jax.jit, static_argnames=("n_sims", "n_days"))
+    def run(key, n_sims: int, n_days: int):
+        m = _to_device(model)
+        z = jax.random.normal(key, (n_sims, n_days)) * daily_std
+        underlying = jnp.broadcast_to(z[..., None],
+                                      z.shape + (cfg.N_ASSETS,))
+        rf = jnp.zeros(n_days, z.dtype)
+        etf = jax.vmap(lambda u: compose_letf_returns(m, u, rf, None))(
+            underlying)
+        logw = jnp.sum(jnp.log1p(etf[..., 0]), axis=1)
+        return jnp.median(jnp.expm1(logw))
+
+    return float(run(key, n_sims, n_days))
+
+
+def _buyhold_engine_median(key, leverage: float, daily_std: float,
+                           n_sims: int, n_days: int) -> float:
+    """Median compound return through the shipped buy-and-hold engine
+    (ops/pallas_path.py): the Pallas kernel's XLA twin everywhere, which is
+    the same compounding relation the TPU kernel implements."""
+    from letf_tpu.ops.pallas_path import gbm_buyhold_xla
+
+    w, _ = gbm_buyhold_xla(key, n_sims, n_days, mu=0.0,
+                           sigma=float(daily_std),   # np scalar would
+                           leverage=float(leverage),  # promote the f32 carry
+                           daily_cost=0.0)
+    return float(jnp.median(w) - 1.0)
 
 
 def validate_zero_drift_vol_drag(n_sims: int = 10_000, seed: int = 42) -> Dict:
@@ -49,8 +86,8 @@ def validate_zero_drift_vol_drag(n_sims: int = 10_000, seed: int = 42) -> Dict:
           f"({n_sims:,} paths x {n_days}d, {leverage}x, vol {annual_vol:.0%})")
     print(f"{'=' * 80}")
 
-    actual = float(_zero_drift_median_return(
-        jax.random.key(seed), leverage, daily_std, n_sims, n_days))
+    actual = _engine_zero_drift_median(
+        jax.random.key(seed), leverage, daily_std, n_sims, n_days)
     expected = -0.5 * leverage ** 2 * annual_vol ** 2
     err = abs(actual - expected)
     passed = err < 0.015
@@ -74,9 +111,9 @@ def validate_flat_market_decay(n_sims: int = 5_000, seed: int = 42) -> Dict:
     results: Dict[str, Dict] = {}
     all_passed = True
     for leverage in (2.0, 3.0):
-        actual = float(_zero_drift_median_return(
+        actual = _buyhold_engine_median(
             jax.random.key(seed + int(leverage)), leverage, daily_std,
-            n_sims, n_days))
+            n_sims, n_days)
         expected = -0.5 * leverage ** 2 * annual_vol ** 2
         err = abs(actual - expected)
         passed = err < 0.02

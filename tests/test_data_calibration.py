@@ -196,3 +196,37 @@ def test_strategy_on_history_infers_regimes(df):
     ec, trades = historical.run_strategy_on_history(out.iloc[:1000], "S4")
     assert len(ec) == 1000
     assert np.isfinite(ec.values).all()
+
+
+def test_historical_comparison_detail_tables(df, capsys):
+    """compare_simulated_vs_historical must include percentile rank tables,
+    cross rankings, and a strategy-on-history backtest (VERDICT r1 #10 /
+    reference historical.py:480-629, 96-102)."""
+    out = fetch_historical_data(force_synthetic=True)
+    rng = np.random.default_rng(0)
+    mc = {sid: [{"Final_Wealth": float(w)} for w in
+                rng.lognormal(np.log(25_000), 0.6, 300)]
+          for sid in ("S1", "S2", "S3", "S4")}
+    res = historical.compare_simulated_vs_historical(out, mc, horizon=10)
+    s1 = res["S1"]
+    assert "percentile_table" in s1 and "p50" in s1["percentile_table"]
+    for row in s1["percentile_table"].values():
+        assert set(row) == {"historical", "simulated", "difference"}
+    assert 0 <= s1["rankings"]["hist_median_percentile_in_sim"] <= 100
+    bt = res["S4_backtest"]
+    assert bt["n_windows"] > 0
+    assert 0 <= bt["median_sim_percentile"] <= 100
+
+
+def test_synthetic_comparison_summary_and_extremes(df):
+    out = fetch_historical_data(force_synthetic=True)
+    rng = np.random.default_rng(1)
+    mc = {sid: [{"Final_Wealth": float(w)} for w in
+                rng.lognormal(np.log(25_000), 0.6, 300)]
+          for sid in ("S1", "S2", "S3")}
+    res = historical.compare_simulated_vs_synthetic_historical(out, mc, 10)
+    assert "summary" in res
+    assert set(res["summary"]["ranking"]) == {"S1", "S2", "S3"}
+    ee = res["S1"]["extreme_events"]
+    assert ee["worst_window_cagr"] <= ee["best_window_cagr"]
+    assert "worst_window_start" in ee
