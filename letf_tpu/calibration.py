@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 from scipy import stats
@@ -429,34 +431,31 @@ def calibrate_funding_spread_model(df: pd.DataFrame,
     else:
         target = 0.0045 + 0.00035 * stress + 0.0012 * inv_curve
 
-    finite = target[np.isfinite(target)]
-    if finite.size > 20:
-        lo, hi = np.nanpercentile(finite, [1.0, 99.0])
-        target = np.clip(target, lo, hi)
-    target = np.nan_to_num(
-        target, nan=float(np.nanmedian(finite) if finite.size else 0.0060))
+    # Winsorize + masked ridge + spread bounds all run ON DEVICE in f64
+    # (ops/fitting.funding_fit_device); the host only stages covariates and
+    # applies the small-sample fallback.
+    from letf_tpu.ops.fitting import fit_context, funding_fit_device, to_x64
 
-    X = np.column_stack([np.ones(n), stress, inv_curve,
-                         np.clip(liquidity, 0.0, 3.0),
-                         np.clip(credit, 0.0, 3.0)])
-    mask = np.isfinite(target) & np.all(np.isfinite(X), axis=1)
-    if mask.sum() < 120:
+    with fit_context():
+        beta_d, min_d, max_d, n_valid = funding_fit_device(
+            *to_x64(target, stress, inv_curve, liquidity, credit))
+        beta = np.asarray(beta_d)
+        min_spread, max_spread = float(min_d), float(max_d)
+    if int(n_valid) < 120:
         beta = np.array([0.0045, 0.00035, 0.0014, 0.0010, 0.0014])
-    else:
-        Xf, yf = X[mask], target[mask]
-        reg = np.diag([1e-6, 1e-4, 1e-4, 1e-4, 1e-4])
-        beta = np.linalg.solve(Xf.T @ Xf + reg, Xf.T @ yf)
-        beta[1:] = np.clip(beta[1:], 0.0, None)
-
-    predicted = X @ beta
-    pf = predicted[np.isfinite(predicted)]
-    if pf.size > 10:
-        min_spread = float(max(np.nanpercentile(pf, 1.0), 0.0025))
-        max_spread = float(min(np.nanpercentile(pf, 99.5), 0.0300))
-        if max_spread <= min_spread:
-            max_spread = min_spread + 0.005
-    else:
-        min_spread, max_spread = 0.0030, 0.0300
+        # Bounds still come from the fitted-series percentiles of THIS beta:
+        X = np.column_stack([np.ones(n), stress, inv_curve,
+                             np.clip(liquidity, 0.0, 3.0),
+                             np.clip(credit, 0.0, 3.0)])
+        pf = (X @ beta)
+        pf = pf[np.isfinite(pf)]
+        if pf.size > 10:
+            min_spread = float(max(np.nanpercentile(pf, 1.0), 0.0025))
+            max_spread = float(min(np.nanpercentile(pf, 99.5), 0.0300))
+            if max_spread <= min_spread:
+                max_spread = min_spread + 0.005
+        else:
+            min_spread, max_spread = 0.0030, 0.0300
 
     model = {
         "base": float(max(beta[0], 0.0015)),
@@ -515,45 +514,40 @@ def calibrate_stress_state_model(df: pd.DataFrame, regimes: np.ndarray) -> Dict:
     liquidity_proxy = (np.maximum(vix - 18.0, 0.0) / 25.0
                        + np.maximum(rv - 0.18, 0.0))
 
-    def ar1(series, default_phi, default_sigma):
-        s = pd.Series(series).replace([np.inf, -np.inf], np.nan).dropna().values
-        if len(s) < 20:
-            return default_phi, default_sigma
-        med = np.nanmedian(s)
-        x, y = s[:-1] - med, s[1:] - med
-        denom = float(np.dot(x, x))
-        phi = default_phi if denom <= 0 else float(np.clip(np.dot(x, y) / denom,
-                                                           0.50, 0.98))
-        sigma = float(np.clip(np.nanstd(y - phi * x), 0.01, 0.30))
-        return phi, sigma
+    # Per-regime medians, demeaned AR(1) channels, and jump intensities run
+    # ON DEVICE as masked reductions (ops/fitting.stress_channel_fit_device)
+    # — the regime mask replaces the reference's boolean-index compression.
+    from letf_tpu.ops.fitting import fit_context, stress_channel_fit_device, to_x64
 
     model = {"regimes": {}}
-    for regime in range(R):
-        mask = regimes == regime
-        if mask.sum() < 60:
+    with fit_context():
+        liq_d, cred_d, rv_d = to_x64(liquidity_proxy, credit_proxy, rv)
+        regimes_d = jnp.asarray(np.asarray(regimes))
+        for regime in range(R):
+            n_regime = int((regimes == regime).sum())
+            if n_regime < 60:
+                model["regimes"][regime] = {
+                    "liq_mu": 0.10 if regime == 0 else 0.35, "liq_phi": 0.90,
+                    "liq_sigma": 0.08,
+                    "credit_mu": 0.05 if regime == 0 else 0.25,
+                    "credit_phi": 0.88, "credit_sigma": 0.07,
+                    "jump_base_prob": 0.0002 if regime == 0 else 0.001,
+                    "jump_scale": 0.0005 if regime == 0 else 0.002,
+                }
+                continue
+            mask = ((regimes_d == regime) & jnp.isfinite(liq_d)
+                    & jnp.isfinite(cred_d))
+            (liq_mu, liq_phi, liq_sigma, cred_mu, cred_phi, cred_sigma,
+             jump_p, jump_s, _) = stress_channel_fit_device(
+                liq_d, cred_d, rv_d, mask)
             model["regimes"][regime] = {
-                "liq_mu": 0.10 if regime == 0 else 0.35, "liq_phi": 0.90,
-                "liq_sigma": 0.08,
-                "credit_mu": 0.05 if regime == 0 else 0.25, "credit_phi": 0.88,
-                "credit_sigma": 0.07,
-                "jump_base_prob": 0.0002 if regime == 0 else 0.001,
-                "jump_scale": 0.0005 if regime == 0 else 0.002,
+                "liq_mu": float(liq_mu), "liq_phi": float(liq_phi),
+                "liq_sigma": float(liq_sigma),
+                "credit_mu": float(cred_mu), "credit_phi": float(cred_phi),
+                "credit_sigma": float(cred_sigma),
+                "jump_base_prob": float(jump_p),
+                "jump_scale": float(jump_s),
             }
-            continue
-        liq, cred = liquidity_proxy[mask], credit_proxy[mask]
-        liq_phi, liq_sigma = ar1(liq, 0.90, 0.08)
-        cred_phi, cred_sigma = ar1(cred, 0.88, 0.07)
-        excess_rv = np.nanmean(np.maximum(rv[mask] - 0.25, 0.0))
-        model["regimes"][regime] = {
-            "liq_mu": float(np.nanmedian(liq)), "liq_phi": liq_phi,
-            "liq_sigma": liq_sigma,
-            "credit_mu": float(np.nanmedian(cred)), "credit_phi": cred_phi,
-            "credit_sigma": cred_sigma,
-            "jump_base_prob": float(np.clip(0.0002 + 0.003 * excess_rv,
-                                            0.0002, 0.003)),
-            "jump_scale": float(np.clip(0.0005 + 0.002 * excess_rv,
-                                        0.0005, 0.0025)),
-        }
     save_cache(model, cfg.STRESS_STATE_CACHE)
     return model
 
@@ -605,25 +599,22 @@ def calibrate_tracking_residual_model(df: pd.DataFrame,
                             "clip_limit": 0.15}
             continue
 
-        r_ = residual[mask]
-        prev, nxt = r_[:-1], r_[1:]
-        denom = float(np.dot(prev, prev))
-        rho = 0.25 if denom <= 0 else float(np.clip(np.dot(prev, nxt) / denom,
-                                                    0.0, 0.7))
-        innov = nxt - rho * prev
-        scale = float(np.clip(np.nanstd(innov), base * 0.5, base * 8.0))
-        down = (np.nanmean(np.abs(innov[innov < 0])) if np.any(innov < 0)
-                else scale)
-        up = (np.nanmean(np.abs(innov[innov >= 0])) if np.any(innov >= 0)
-              else scale)
-        downside_mult = float(np.clip(down / max(up, 1e-9), 1.0, 2.0))
-        clip_limit = (float(np.nanpercentile(np.abs(innov), 99.5) * 1.35)
-                      if len(innov) > 30 else 0.15)
-        clip_limit = float(np.clip(clip_limit, 0.08, 0.35))
-        model[asset] = {"rho": rho, "base_scale": scale,
-                        "downside_mult": downside_mult,
+        # AR(1)/asymmetry/clip-limit fit on device (ops/fitting).
+        from letf_tpu.ops.fitting import (
+            fit_context,
+            to_x64,
+            tracking_residual_fit_device,
+        )
+
+        with fit_context():
+            (rho, scale, downside_mult, clip_limit, _, _) = \
+                tracking_residual_fit_device(
+                    *to_x64(residual), jnp.asarray(np.asarray(mask)),
+                    lo_scale=base * 0.5, hi_scale=base * 8.0)
+        model[asset] = {"rho": float(rho), "base_scale": float(scale),
+                        "downside_mult": float(downside_mult),
                         "df": cfg.ASSETS[asset].tracking_error_df,
-                        "clip_limit": clip_limit}
+                        "clip_limit": float(clip_limit)}
 
     if not bypass_cache:
         save_cache(model, cfg.TRACKING_RESIDUAL_CACHE)

@@ -83,6 +83,55 @@ def simulate_income_trajectory(base_income: float, years: int,
     }
 
 
+def simulate_income_paths_jax(key, base_income: float, years: int,
+                              n_paths: int, career_stage: str = "mid",
+                              aggressive: bool = True):
+    """Device-side batched income paths: one lax.scan over years carrying
+    [N]-vector (income, recovering) state — the TPU-native formulation of
+    simulate_income_trajectory (same career constants and event cascade,
+    counter-based streams instead of the NumPy generator). Returns
+    [n_paths, years + 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    p = CAREER_PARAMS[career_stage]
+    base_growth = (p["base_growth_aggressive"] if aggressive
+                   else p["base_growth"])
+    lay, promo, jobc = p["layoff_rate"], p["promotion_rate"], p["job_change_rate"]
+    pb_lo, pb_hi = p["promotion_boost"]
+    jb_lo, jb_hi = p["job_change_boost"]
+
+    def step(carry, k):
+        income, recovering = carry
+        kz, kr, kb = jax.random.split(k, 3)
+        growth = base_growth + p["growth_volatility"] * jax.random.normal(
+            kz, (n_paths,))
+        roll = jax.random.uniform(kr, (n_paths,))
+        u = jax.random.uniform(kb, (n_paths,))
+        in_rec = recovering > 0
+        is_layoff = (~in_rec) & (roll < lay)
+        is_promo = (~in_rec) & (~is_layoff) & (roll < lay + promo)
+        is_jobc = (~in_rec) & (~is_layoff) & (~is_promo) \
+            & (roll < lay + promo + jobc)
+        growth = (growth
+                  + jnp.where(in_rec, 0.10, 0.0)
+                  - jnp.where(is_layoff, p["layoff_penalty"], 0.0)
+                  + jnp.where(is_promo, pb_lo + u * (pb_hi - pb_lo), 0.0)
+                  + jnp.where(is_jobc, jb_lo + u * (jb_hi - jb_lo), 0.0))
+        income = jnp.clip(income * (1.0 + growth),
+                          base_income * 0.5, base_income * 5.0)
+        recovering = jnp.where(is_layoff, int(p["recovery_years"]),
+                               jnp.maximum(recovering - 1, 0))
+        return (income, recovering), income
+
+    keys = jax.random.split(key, years)
+    init = (jnp.full((n_paths,), float(base_income)),
+            jnp.zeros((n_paths,), jnp.int32))
+    _, path = jax.lax.scan(step, init, keys)
+    first = jnp.full((1, n_paths), float(base_income), path.dtype)
+    return jnp.concatenate([first, path], axis=0).T
+
+
 def get_year_income(income_trajectory, year: int) -> float:
     """Income for a specific year; extrapolates at 2% beyond the path."""
     if year >= len(income_trajectory):
