@@ -220,6 +220,96 @@ def _tax_all_trials(results: List[Dict], time_horizon: int, tax_config: Dict,
     return all_tax
 
 
+def exact_post_tax_all_trials(model, time_horizon: int,
+                              num_simulations: int,
+                              tax_config: Optional[Dict] = None,
+                              strategy_ids: Optional[List[str]] = None,
+                              seed: int = 0, chunk_size: int = 4096,
+                              percentiles=(10, 25, 50, 75, 90)) -> Dict:
+    """EXACT post-tax percentile fans for EVERY trial at any scale, fully
+    on device: chunks re-run with trade emission, the vectorized wash-sale/
+    FIFO bridge (tax.device_bridge) turns emission into (trial, year)
+    activity tensors, and the vectorized netting/bracket engine
+    (tax.vectorized) taxes all trials — no per-trial host Python, no trade
+    dicts, no sampling/interpolation (the reference caps exact tax at 50
+    trials/strategy, reporting.py:455-509).
+
+    Returns {sid: {pre_tax_pXX, post_tax_pXX, median_tax, ...}}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from letf_tpu.income import simulate_wired_income_path
+    from letf_tpu.models.params import SimModel, build_sim_model
+    from letf_tpu.parallel.mc_runner import _mc_chunk, _trial_layout
+    from letf_tpu.tax.device_bridge import yearly_activity_from_emission
+    from letf_tpu.tax.vectorized import total_tax_all_trials
+
+    if tax_config is None:
+        tax_config = dict(DEFAULT_TAX_CONFIG)
+    if strategy_ids is None:
+        strategy_ids = list(cfg.TAXABLE_IDS)
+    if not isinstance(model, SimModel):
+        model = build_sim_model(model)
+    cols = [cfg.TAXABLE_IDS.index(sid) for sid in strategy_ids]
+    sim_days = time_horizon * cfg.TRADING_DAYS
+    buffer_days = (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
+                   if cfg.USE_RANDOM_START
+                   and cfg.RANDOM_START_METHOD == "offset" else 0)
+    method = (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START else "none")
+
+    income = jnp.asarray(simulate_wired_income_path(
+        tax_config.get("ordinary_income", 150000), time_horizon,
+        years_until_retirement=tax_config.get("years_until_retirement"),
+        retirement_income=tax_config.get("retirement_income"), seed=42))
+    kw = dict(filing_status=tax_config.get("filing_status",
+                                           "single").lower(),
+              state_code=tax_config.get("state", "CA"))
+
+    ids, anti = _trial_layout(num_simulations, cfg.USE_ANTITHETIC_VARIATES)
+    key = jax.random.key(seed)
+    pre = {sid: [] for sid in strategy_ids}
+    post = {sid: [] for sid in strategy_ids}
+    n_done = 0
+    while n_done < num_simulations:
+        n_here = min(chunk_size, num_simulations - n_done)
+        sl = slice(n_done, n_done + n_here)
+        summaries, emission = _mc_chunk(
+            model, key, jnp.asarray(ids[sl], jnp.int32),
+            jnp.asarray(anti[sl]), sim_days, buffer_days,
+            random_start_method=method, apply_costs=True, emit_trades=True)
+        tj_alloc, tj_value, tj_price, tj_asset = emission
+        for sid, col in zip(strategy_ids, cols):
+            activity, n_trades = yearly_activity_from_emission(
+                tj_alloc[:, :, col], tj_value[:, :, col],
+                tj_price[:, :, col], tj_asset[:, :, col],
+                n_years=time_horizon)
+            tax = total_tax_all_trials(
+                activity[..., :4], income, cfg.INITIAL_CAPITAL,
+                n_trades.astype(activity.dtype) / time_horizon, **kw)
+            k = cfg.STRATEGY_INDEX[sid]
+            w = summaries["final_wealth"][:, k]
+            pre[sid].append(np.asarray(w))
+            # Drag capped at 100% like the reference tables (IRC §1211
+            # asymmetry: gains taxed fully, losses deductible $3k/yr).
+            post[sid].append(np.asarray(jnp.maximum(w - tax["total_tax"],
+                                                    0.0)))
+        n_done += n_here
+
+    out = {}
+    for sid in strategy_ids:
+        w = np.concatenate(pre[sid])
+        pw = np.concatenate(post[sid])
+        entry = {"n_trials": len(w),
+                 "median_tax": float(np.median(w - pw)),
+                 "exact_all_trials": True}
+        for p in percentiles:
+            entry[f"pre_tax_p{p}"] = float(np.percentile(w, p))
+            entry[f"post_tax_p{p}"] = float(np.percentile(pw, p))
+        out[sid] = entry
+    return out
+
+
 def create_summary_statistics(mc_results: Dict[str, List[Dict]],
                               time_horizon: int,
                               tax_config: Optional[Dict] = None,
