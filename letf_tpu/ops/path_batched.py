@@ -262,7 +262,8 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
 def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
                           sim_days: int, buffer_days: int = 0,
                           random_start_method: str = "offset",
-                          anchors=None) -> Innovations:
+                          anchors=None,
+                          joint_draws: bool = True) -> Innovations:
     """Production innovation draws: same streams-per-(trial, purpose)
     discipline and identical distributions, using the fast samplers and the
     batched regime scan. Antithetic pairs still share trial keys and negate
@@ -313,28 +314,34 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
     regime_full = simulate_regime_paths_spell(
         model, streams(rngs.REGIME), start_regime, total_days)
 
-    sign = jnp.where(antithetic, -1.0, 1.0)[:, None, None]
-    k_eps = streams(rngs.JOINT_EPS)
-    eps = sign * jax.vmap(
-        lambda k: jax.random.normal(k, (total_days, 3)))(k_eps)
-
-    # chi-square(nu_r) from ONE normal per day via the tabulated
-    # log-quantile Chebyshev (params.chi_cheb) — no gamma rejection loops,
-    # no [B, R, T] staging tensor, no gather.
-    z_chi = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
-        streams(rngs.JOINT_CHI))
-    cheb = jnp.asarray(model.joint.chi_cheb)             # [R, K]
-    chi_r = [chi2_from_normal(z_chi, cheb[r]) for r in range(cheb.shape[0])]
-    if len(chi_r) == 2:
-        u_chi = jnp.where(regime_full == 1, chi_r[1], chi_r[0])
+    if not joint_draws:
+        # Joint/VIX/IRX innovations are produced INSIDE the Pallas joint
+        # kernel (ops/pallas_joint.py); skip generating them here.
+        eps = u_chi = vix_noise = irx_noise = None
     else:
-        u_chi = jnp.select([regime_full == r for r in range(len(chi_r))],
-                           chi_r)
+        sign = jnp.where(antithetic, -1.0, 1.0)[:, None, None]
+        k_eps = streams(rngs.JOINT_EPS)
+        eps = sign * jax.vmap(
+            lambda k: jax.random.normal(k, (total_days, 3)))(k_eps)
 
-    vix_noise = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
-        streams(rngs.VIX_NOISE))
-    irx_noise = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
-        streams(rngs.IRX_NOISE))
+        # chi-square(nu_r) from ONE normal per day via the tabulated
+        # log-quantile Chebyshev (params.chi_cheb) — no gamma rejection
+        # loops, no [B, R, T] staging tensor, no gather.
+        z_chi = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
+            streams(rngs.JOINT_CHI))
+        cheb = jnp.asarray(model.joint.chi_cheb)             # [R, K]
+        chi_r = [chi2_from_normal(z_chi, cheb[r])
+                 for r in range(cheb.shape[0])]
+        if len(chi_r) == 2:
+            u_chi = jnp.where(regime_full == 1, chi_r[1], chi_r[0])
+        else:
+            u_chi = jnp.select([regime_full == r for r in range(len(chi_r))],
+                               chi_r)
+
+        vix_noise = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
+            streams(rngs.VIX_NOISE))
+        irx_noise = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
+            streams(rngs.IRX_NOISE))
 
     stress_norms = jax.vmap(lambda k: jax.random.normal(k, (sim_days, 2)))(
         streams(rngs.STRESS_NORM))
@@ -624,20 +631,32 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
                                   sim_days: int,
                                   moment_matching: bool = True,
                                   use_funding_model: bool = True,
-                                  use_stress: bool = True) -> PathOutputs:
+                                  use_stress: bool = True,
+                                  joint=None) -> PathOutputs:
     """Batched twin of path_from_innovations: [B, ...] innovations in,
-    [B, ...] PathOutputs out, numerics identical."""
+    [B, ...] PathOutputs out, numerics identical.
+
+    ``joint``: optional precomputed (x_full [B, T, 3], vix_full, irx_full)
+    from the Pallas joint kernel (innov's joint fields are None then);
+    moment matching is applied here in that case."""
     model = _to_device(model)
     regime_full = innov.regime_full                     # [B, T]
     B, T = regime_full.shape
 
-    x_full, vix_full = simulate_joint_and_vix_batched(
-        model, regime_full, innov.eps, innov.u_chi, innov.vix_noise,
-        moment_matching=moment_matching)
+    if joint is not None:
+        x_full, vix_full, irx_full = joint
+        if moment_matching:
+            theo = jnp.asarray(model.joint.theo_mean, x_full.dtype)
+            x_full = x_full + (theo[None, None, :]
+                               - x_full.mean(axis=1, keepdims=True)) * 0.1
+    else:
+        x_full, vix_full = simulate_joint_and_vix_batched(
+            model, regime_full, innov.eps, innov.u_chi, innov.vix_noise,
+            moment_matching=moment_matching)
 
-    irx_full = jnp.clip(
-        _gather_r(jnp.asarray(model.irx_base, x_full.dtype), regime_full)
-        + 0.5 * innov.irx_noise, 0.0, 15.0)
+        irx_full = jnp.clip(
+            _gather_r(jnp.asarray(model.irx_base, x_full.dtype), regime_full)
+            + 0.5 * innov.irx_noise, 0.0, 15.0)
 
     if T == sim_days:
         # No buffer => every start_offset is 0 (only the 'offset' method
@@ -767,19 +786,77 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
                            use_funding_model: bool = True,
                            use_stress: bool = True,
                            fast_draws: bool = True,
-                           anchors=None) -> PathOutputs:
+                           anchors=None,
+                           joint_kernel: str = "auto") -> PathOutputs:
     """Lane-packed batch path generation (institutional_v1 mode).
 
     fast_draws=True uses the cheap exact samplers (distribution-equivalent
-    streams); False reproduces the per-trial engine's draws bit-for-bit."""
-    if fast_draws:
-        innov = draw_innovations_fast(model, run_key, trial_ids, antithetic,
-                                      sim_days, buffer_days,
-                                      random_start_method, anchors=anchors)
-    else:
+    streams); False reproduces the per-trial engine's draws bit-for-bit.
+
+    joint_kernel: 'auto' uses the Pallas in-kernel-RNG joint generator
+    (ops/pallas_joint.py) on TPU/f32 when B % 1024 == 0; 'off' forces the
+    XLA joint scan. The kernel's draws are counter-based — keyed by
+    (run seed, base trial id, day, draw index) — so antithetic pairing
+    (pairs share a base id, odd member's joint normals negated) and
+    replay-from-(seed, trial_id) both hold regardless of chunk layout."""
+    B = trial_ids.shape[0]
+    want_kernel = (fast_draws and joint_kernel != "off"
+                   and jax.default_backend() == "tpu"
+                   and jnp.zeros(0).dtype == jnp.float32)
+    if not fast_draws:
         innov = draw_innovations_batched(model, run_key, trial_ids,
                                          antithetic, sim_days, buffer_days,
                                          random_start_method, anchors=anchors)
+        return path_from_innovations_batched(
+            model, innov, sim_days, moment_matching=moment_matching,
+            use_funding_model=use_funding_model, use_stress=use_stress)
+
+    if want_kernel:
+        from letf_tpu.ops.pallas_joint import (
+            TILE,
+            _pack_params,
+            pallas_joint_generate,
+        )
+
+        # Counter-based draws make results batch-layout-independent, so a
+        # non-multiple-of-1024 batch (e.g. trade-emission replay of a trial
+        # subset) can simply be PADDED — padded lanes compute throwaway
+        # trials and are sliced off, keeping wealth runs and replays on the
+        # exact same per-trial paths.
+        pad = (-B) % TILE
+        ids_p = jnp.concatenate(
+            [trial_ids, jnp.broadcast_to(trial_ids[-1:], (pad,))]) \
+            if pad else trial_ids
+        anti_p = jnp.concatenate(
+            [antithetic, jnp.zeros((pad,), antithetic.dtype)]) \
+            if pad else antithetic
+
+        innov = draw_innovations_fast(model, run_key, ids_p, anti_p,
+                                      sim_days, buffer_days,
+                                      random_start_method, anchors=anchors,
+                                      joint_draws=False)
+        total_days = sim_days + buffer_days
+        seed_words = jax.lax.bitcast_convert_type(
+            jax.random.key_data(run_key).reshape(-1)[:2], jnp.int32)
+        signs = jnp.where(anti_p, -1.0, 1.0).astype(jnp.float32)
+        params = _pack_params(model)
+        cheb = jnp.asarray(model.joint.chi_cheb, jnp.float32)
+        x, vix, irx = pallas_joint_generate(
+            params, cheb, innov.regime_full, ids_p, signs, seed_words,
+            total_days)
+        path = path_from_innovations_batched(
+            model, innov, sim_days, moment_matching=moment_matching,
+            use_funding_model=use_funding_model, use_stress=use_stress,
+            joint=(x, vix, irx))
+        if pad:
+            path = jax.tree.map(
+                lambda a: a[:B] if a.ndim >= 1 and a.shape[0] == B + pad
+                else a, path)
+        return path
+
+    innov = draw_innovations_fast(model, run_key, trial_ids, antithetic,
+                                  sim_days, buffer_days,
+                                  random_start_method, anchors=anchors)
     return path_from_innovations_batched(
         model, innov, sim_days, moment_matching=moment_matching,
         use_funding_model=use_funding_model, use_stress=use_stress)

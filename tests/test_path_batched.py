@@ -165,3 +165,69 @@ def test_spell_regime_paths_match_scan_distribution(model):
     # Regime values are only 0/1 and paths start in regime 0.
     assert set(np.unique(sp)) <= {0, 1}
     assert (sp[:, 0] == 0).all()
+
+
+def test_pallas_joint_kernel_interpret():
+    """The counter-based joint kernel is pure arithmetic (no TPU PRNG), so
+    interpret mode runs on CPU: checks output shapes, finiteness, VIX floor,
+    antithetic pair mirroring of the first-day joint shock, and
+    batch-layout-independent replay (counter-based draws)."""
+    import numpy as np
+
+    from letf_tpu.models.params import default_sim_model
+    from letf_tpu.ops.pallas_joint import _pack_params
+    from letf_tpu.ops import pallas_joint as pj
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as ft
+
+    model = default_sim_model()
+    B, T = 1024, 16
+    regime = jnp.zeros((B, T), jnp.int32)
+    ids = (jnp.arange(B, dtype=jnp.int32) // 2)
+    signs = jnp.where(jnp.arange(B) % 2 == 1, -1.0, 1.0).astype(jnp.float32)
+    seed = jnp.asarray([123, 456], jnp.int32)
+    params = jnp.asarray(np.asarray(_pack_params(model), np.float32))
+    cheb = jnp.asarray(model.joint.chi_cheb, jnp.float32)
+
+    def run(regime, ids, signs):
+        G = B // pj.TILE
+        reg = (regime.astype(jnp.int8).reshape(G, 8, 128, T)
+               .transpose(0, 3, 1, 2))
+        idr = ids.reshape(G, 8, 128)
+        sgr = signs.reshape(G, 8, 128)
+        kernel = ft.partial(pj._joint_kernel, day_block=T, n_blocks=1,
+                            n_cheb=cheb.shape[1])
+        out_spec = pl.BlockSpec((1, T, 8, 128), lambda g, j: (g, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        shp = jax.ShapeDtypeStruct((G, T, 8, 128), jnp.float32)
+        outs = pl.pallas_call(
+            kernel, grid=(G, 1),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
+                pl.BlockSpec((1, 8, 128), lambda g, j: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda g, j: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, 8, 128), lambda g, j: (g, j, 0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=(out_spec,) * 5, out_shape=(shp,) * 5,
+            scratch_shapes=[pltpu.VMEM((14, 8, 128), jnp.float32)],
+            interpret=True,
+        )(seed, params, cheb, idr, sgr, reg)
+        return [o.transpose(0, 2, 3, 1).reshape(B, T) for o in outs]
+
+    x0, x1, x2, vix, irx = run(regime, ids, signs)
+    for a in (x0, x1, x2, vix, irx):
+        assert np.isfinite(np.asarray(a)).all()
+    assert float(jnp.min(vix[:, 1:])) >= 10.0
+    # Day-0 joint shock mirrors across the pair around the regime mean
+    # (same draws, negated normals, same chi mixing).
+    mu0 = float(model.joint.mu[0][0])
+    d0 = np.asarray(x0[:, 0])
+    np.testing.assert_allclose(d0[0::2] - mu0, -(d0[1::2] - mu0),
+                               rtol=1e-4, atol=1e-7)
+    # Counter-based draws: trial 7's path is identical when the batch is
+    # reshuffled (ids rolled by 10 positions).
+    x0b, *_ = run(regime, jnp.roll(ids, 10), jnp.roll(signs, 10))
+    np.testing.assert_array_equal(np.asarray(x0b[10 + 4]),
+                                  np.asarray(x0[4]))
