@@ -632,13 +632,18 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
                                   moment_matching: bool = True,
                                   use_funding_model: bool = True,
                                   use_stress: bool = True,
-                                  joint=None) -> PathOutputs:
+                                  joint=None,
+                                  counter_ctx=None) -> PathOutputs:
     """Batched twin of path_from_innovations: [B, ...] innovations in,
     [B, ...] PathOutputs out, numerics identical.
 
     ``joint``: optional precomputed (x_full [B, T, 3], vix_full, irx_full)
     from the Pallas joint kernel (innov's joint fields are None then);
-    moment matching is applied here in that case."""
+    moment matching is applied here in that case.
+
+    ``counter_ctx``: optional (base_ids [B], seed_words [2]) enabling the
+    phase-2 Pallas kernel (stress + TE + composition with counter-based
+    in-kernel draws) on TPU."""
     model = _to_device(model)
     regime_full = innov.regime_full                     # [B, T]
     B, T = regime_full.shape
@@ -713,6 +718,30 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
             vix, irx = w[..., 3], w[..., 4]
             regime = w[..., 5].astype(jnp.int32)
 
+    use_compose_kernel = (
+        counter_ctx is not None and jax.default_backend() == "tpu"
+        and vix.dtype == jnp.float32 and B % 1024 == 0
+        and use_stress and use_funding_model)
+    if use_compose_kernel:
+        from letf_tpu.ops.pallas_compose import (
+            _pack_asset_params,
+            _pack_stress_params,
+            pallas_compose_generate,
+        )
+
+        base_ids, seed_words = counter_ctx
+        etf_ret, spy, qqq, cash_ret, jc, ls, cs = pallas_compose_generate(
+            _pack_stress_params(model), _pack_asset_params(model),
+            base_ids, seed_words, spy, qqq, tlt, vix, irx,
+            regime, sim_days=sim_days)
+        jump_days = jc.astype(jnp.int32)
+        liq_mean = ls / sim_days
+        cred_mean = cs / sim_days
+        risk_free = jnp.clip(irx, 0.0, 20.0) / 100.0
+        return _finish_path(model, innov, etf_ret, tlt, spy, qqq, vix,
+                            regime, cash_ret, risk_free, jump_days,
+                            liq_mean, cred_mean)
+
     if use_stress:
         liq, cred, jump = simulate_stress_batched(
             model, regime, vix, innov.stress_norms, innov.u_jump, innov.t_abs)
@@ -754,6 +783,15 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
     cash_ret = _gather_r(jnp.asarray(model.cash_rate, vix.dtype),
                          regime) / 252.0
 
+    return _finish_path(model, innov, etf_ret, tlt, spy, qqq, vix, regime,
+                        cash_ret, risk_free, jump_days, liq_mean, cred_mean)
+
+
+def _finish_path(model, innov, etf_ret, tlt, spy, qqq, vix, regime,
+                 cash_ret, risk_free, jump_days, liq_mean,
+                 cred_mean) -> PathOutputs:
+    """Validity checks + repair pass + PathOutputs assembly (shared by the
+    XLA and Pallas composition paths)."""
     finite_pre = (jnp.all(jnp.isfinite(etf_ret), axis=(1, 2))
                   & jnp.all(jnp.isfinite(tlt), axis=1)
                   & jnp.all(jnp.isfinite(vix), axis=1))
@@ -847,7 +885,8 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
         path = path_from_innovations_batched(
             model, innov, sim_days, moment_matching=moment_matching,
             use_funding_model=use_funding_model, use_stress=use_stress,
-            joint=(x, vix, irx))
+            joint=(x, vix, irx),
+            counter_ctx=(ids_p.astype(jnp.int32), seed_words))
         if pad:
             path = jax.tree.map(
                 lambda a: a[:B] if a.ndim >= 1 and a.shape[0] == B + pad

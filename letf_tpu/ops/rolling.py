@@ -20,13 +20,20 @@ from jax import lax
 
 
 def _causal_window_sum(x: jax.Array, window: int) -> jax.Array:
-    """Sum over the trailing window [t-w+1, t] along the last axis."""
-    ndim = x.ndim
-    dims = (1,) * (ndim - 1) + (window,)
-    strides = (1,) * ndim
-    pad = [(0, 0)] * (ndim - 1) + [(window - 1, 0)]
-    return lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add,
-                             dims, strides, pad)
+    """Sum over the trailing window [t-w+1, t] along the last axis.
+
+    Cumsum-difference (O(T)) instead of lax.reduce_window (O(T*w)): the
+    200-day windows made signals a top-3 cost in the production engine.
+    Precision: the difference of two prefix sums loses ~eps * |csum|/|wsum|
+    relative accuracy — bounded by ~(T/w) here, i.e. ~1e-6 in f32
+    production signals and ~1e-14 in the f64 parity suite, both far inside
+    the comparison tolerances."""
+    if window >= x.shape[-1]:
+        return jnp.cumsum(x, axis=-1)
+    c = jnp.cumsum(x, axis=-1)
+    lagged = jnp.concatenate(
+        [jnp.zeros_like(c[..., :window]), c[..., :-window]], axis=-1)
+    return c - lagged
 
 
 def _counts(T: int, window: int, dtype) -> jax.Array:

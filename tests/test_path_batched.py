@@ -231,3 +231,86 @@ def test_pallas_joint_kernel_interpret():
     x0b, *_ = run(regime, jnp.roll(ids, 10), jnp.roll(signs, 10))
     np.testing.assert_array_equal(np.asarray(x0b[10 + 4]),
                                   np.asarray(x0[4]))
+
+
+def test_pallas_compose_kernel_interpret():
+    """Phase-2 compose kernel (stress + TE + LETF composition) in interpret
+    mode: finiteness, return bounds, stress-channel bounds, and
+    batch-position-independent replay."""
+    import numpy as np
+
+    from letf_tpu import config as cfg
+    from letf_tpu.models.params import default_sim_model
+    from letf_tpu.ops import pallas_compose as pc
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as ft
+
+    model = default_sim_model()
+    B, S = 1024, 16
+    key = jax.random.key(3)
+    spy = 0.01 * jax.random.normal(key, (B, S), jnp.float32)
+    qqq = 1.1 * spy
+    tlt = -0.1 * spy
+    vix = jnp.full((B, S), 22.0, jnp.float32)
+    irx = jnp.full((B, S), 4.0, jnp.float32)
+    regime = jnp.zeros((B, S), jnp.int32)
+    ids = jnp.arange(B, dtype=jnp.int32) // 2
+    seed = jnp.asarray([9, 11], jnp.int32)
+
+    def run(ids, roll=0):
+        spy_r = jnp.roll(spy, roll, axis=0)
+        qqq_r = jnp.roll(qqq, roll, axis=0)
+        tlt_r = jnp.roll(tlt, roll, axis=0)
+        G = B // pc.TILE
+        sp = pc._pack_stress_params(model)
+        ap = pc._pack_asset_params(model)
+        und = tuple(int(i) for i in cfg.asset_table().underlying)
+        te_cheb = tuple(pc._te_chi_tables())
+
+        def slab(a, dt=jnp.float32):
+            return (a.astype(dt).reshape(G, 8, 128, S).transpose(0, 3, 1, 2))
+
+        ins = [slab(spy_r), slab(qqq_r), slab(tlt_r), slab(vix), slab(irx),
+               slab(regime, jnp.int8)]
+        blk = pl.BlockSpec((1, S, 8, 128), lambda g, j: (g, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+        shp = jax.ShapeDtypeStruct((G, S, 8, 128), jnp.float32)
+
+        def wrapped(seed_ref, sp_ref, ap_ref, ids_ref, s0, s1, s2, s3, s4,
+                    s5, e0, e1, e2, e3, e4, e5, spya, qqqa, cash, summ,
+                    state):
+            pc._compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
+                               s0, s1, s2, s3, s4, s5,
+                               (e0, e1, e2, e3, e4, e5, spya, qqqa, cash,
+                                summ), state, day_block=S, n_blocks=1,
+                               use_stress=True, use_funding=True,
+                               te_cheb=te_cheb, und_idx=und)
+
+        outs = pl.pallas_call(
+            wrapped, grid=(G, 1),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [
+                pl.BlockSpec((1, 8, 128), lambda g, j: (g, 0, 0),
+                             memory_space=pltpu.VMEM)] + [blk] * 6,
+            out_specs=tuple([blk] * 9) + (
+                pl.BlockSpec((1, 8, 8, 128), lambda g, j: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),),
+            out_shape=tuple([shp] * 9) + (
+                jax.ShapeDtypeStruct((G, 8, 8, 128), jnp.float32),),
+            scratch_shapes=[pltpu.VMEM((18, 8, 128), jnp.float32)],
+            interpret=True,
+        )(seed, sp, ap, ids.reshape(G, 8, 128), *ins)
+        return [o.transpose(0, 2, 3, 1).reshape(B, -1) for o in outs[:9]]
+
+    outs = run(ids)
+    for a in outs:
+        arr = np.asarray(a)
+        assert np.isfinite(arr).all()
+    for c in range(6):
+        etf = np.asarray(outs[c])
+        assert (etf >= -0.999).all() and (etf <= 10.0).all()
+    # Counter-based: trial 4's etf identical with rolled batch layout
+    # (ids and input streams rolled together).
+    outs2 = run(jnp.roll(ids, 10), roll=10)
+    np.testing.assert_array_equal(np.asarray(outs2[0][10 + 4]),
+                                  np.asarray(outs[0][4]))
