@@ -231,17 +231,34 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
     spell_regime = start_regime[:, None] ^ parity                # [B, K]
 
     # Inverse-CDF dwell per spell, for both regimes, selected by parity.
-    # Both the index (sum of cdf < u) and the value lookup (one-hot
-    # contraction) are fused compare-reductions — a [B, K] gather from the
-    # value table would hit the TPU's slow dynamic-gather path.
+    # Exact two-level search: the sorted [D] cdf is viewed as [G, Dg]
+    # blocks; level 1 compares u against the G block maxima, level 2
+    # against the selected block's Dg entries (block pulled out with a
+    # one-hot select, never a gather). idx == min(sum(cdf < u), D-1)
+    # bit-for-bit, at ~D/(2*Dg) the compare volume of the flat reduction.
+    G = 16
+    Dg = (D + G - 1) // G
+    pad = G * Dg - D
     dwells = []
     for r in range(2):
-        idx = jnp.minimum(
-            jnp.sum((dwell_cdf[r][None, None, :] < u[:, :, None])
-                    .astype(jnp.int32), axis=-1), D - 1)
-        emp = jnp.sum(jnp.where(idx[:, :, None]
-                                == jnp.arange(D)[None, None, :],
-                                dwell_val[r][None, None, :], 0.0), axis=-1)
+        cdf_p = jnp.pad(dwell_cdf[r], (0, pad), constant_values=jnp.inf)
+        val_p = jnp.pad(dwell_val[r], (0, pad))
+        cdfm = cdf_p.reshape(G, Dg)                 # [G, Dg] sorted blocks
+        valm = val_p.reshape(G, Dg)
+        c1 = jnp.sum((cdfm[None, None, :, -1] < u[:, :, None])
+                     .astype(jnp.int32), axis=-1)    # [B, K] blocks below u
+        i_hi = jnp.minimum(c1, G - 1)
+        hi_oh = (i_hi[:, :, None]
+                 == jnp.arange(G)[None, None, :])    # [B, K, G]
+        blk = jnp.sum(jnp.where(hi_oh[..., None], cdfm[None, None], 0.0),
+                      axis=2)                        # [B, K, Dg]
+        c2 = jnp.sum((blk < u[:, :, None]).astype(jnp.int32), axis=-1)
+        idx = jnp.minimum(i_hi * Dg + c2, D - 1)
+        vrow = jnp.sum(jnp.where(hi_oh[..., None], valm[None, None], 0.0),
+                       axis=2)                       # [B, K, Dg]
+        lo_oh = ((idx % Dg)[:, :, None]
+                 == jnp.arange(Dg)[None, None, :])
+        emp = jnp.sum(jnp.where(lo_oh, vrow, 0.0), axis=-1)
         geo = jnp.maximum(jnp.ceil(jnp.log1p(-u) / jnp.log(p_stay[r])), 1.0)
         dwells.append(jnp.where(has_dwell[r] > 0, emp, geo))
     dwell = jnp.where(spell_regime == 0, dwells[0], dwells[1])   # [B, K]
@@ -250,12 +267,29 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
     # engine decrements a float remainder, so a non-integer dwell d acts as
     # ceil(d) days — match that exactly.
     # completed[t] = #{spells with end <= t} (day t of a boundary belongs to
-    # the NEXT spell). Computed as a fused compare-reduction over spells —
-    # a scatter-add + cumsum formulation is ~4x slower on TPU.
+    # the NEXT spell). Decomposed over W-day buckets so the O(K*T) count
+    # runs on the MXU instead of as a VPU compare-reduction (~20x):
+    #   ends <= t  <=>  eb < tb  OR  (eb == tb AND ep <= tp)
+    #   with eb = ends // W, ep = ends % W, tb = t // W, tp = t % W.
+    #   within[b, tb, tp] = sum_k H[b,k,tb] * C[b,k,tp]   (batched matmul)
+    #   coarse[b, tb]     = exclusive-cumsum of within[b, :, W-1]
+    # One-hot operands are exact in bf16 and the MXU accumulates in f32,
+    # so counts (<= W per bucket) are exact integers; parity is exact.
     ends = jnp.cumsum(jnp.ceil(dwell).astype(jnp.int32), axis=1)  # [B, K]
-    t_grid = jnp.arange(total_days, dtype=jnp.int32)
-    completed = jnp.sum((ends[:, :, None] <= t_grid[None, None, :])
-                        .astype(jnp.int32), axis=1)               # [B, T]
+    W = 64
+    nb = (total_days + W - 1) // W
+    eb = ends // W                                   # [B, K]
+    ep = ends - eb * W
+    H = (eb[:, :, None] == jnp.arange(nb)[None, None, :])          # [B,K,nb]
+    C = (ep[:, :, None] <= jnp.arange(W)[None, None, :])           # [B,K,W]
+    within = jnp.einsum("bkt,bkp->btp", H.astype(jnp.bfloat16),
+                        C.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)        # [B,nb,W]
+    within = within.astype(jnp.int32)
+    bucket_counts = within[:, :, -1]                               # [B, nb]
+    coarse = jnp.cumsum(bucket_counts, axis=1) - bucket_counts     # exclusive
+    completed = (coarse[:, :, None] + within).reshape(B, nb * W)
+    completed = completed[:, :total_days]                          # [B, T]
     return (start_regime[:, None] ^ (completed % 2)).astype(jnp.int32)
 
 
@@ -263,7 +297,8 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
                           sim_days: int, buffer_days: int = 0,
                           random_start_method: str = "offset",
                           anchors=None,
-                          joint_draws: bool = True) -> Innovations:
+                          joint_draws: bool = True,
+                          aux_draws: bool = True) -> Innovations:
     """Production innovation draws: same streams-per-(trial, purpose)
     discipline and identical distributions, using the fast samplers and the
     batched regime scan. Antithetic pairs still share trial keys and negate
@@ -343,29 +378,38 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
         irx_noise = jax.vmap(lambda k: jax.random.normal(k, (total_days,)))(
             streams(rngs.IRX_NOISE))
 
-    stress_norms = jax.vmap(lambda k: jax.random.normal(k, (sim_days, 2)))(
-        streams(rngs.STRESS_NORM))
-    kj = jax.vmap(lambda k: jax.random.split(k, 3))(streams(rngs.STRESS_JUMP))
-    u_jump = jax.vmap(lambda k: jax.random.uniform(k, (sim_days,)))(kj[:, 0])
-    t_abs = jnp.abs(jax.vmap(
-        lambda k: t_int_df(k, 5, (sim_days,)))(kj[:, 1]))
-    jump_sign = jnp.where(
-        jax.vmap(lambda k: jax.random.uniform(k, (sim_days,)))(kj[:, 2]) < 0.5,
-        -1.0, 1.0)
+    if not aux_draws:
+        # Stress/jump/TE innovations are produced INSIDE the Pallas compose
+        # kernel (ops/pallas_compose.py) with counter-based draws; skip
+        # generating ~11 [B, S] tensors (RNG + HBM writes) nothing reads.
+        stress_norms = u_jump = t_abs = jump_sign = te_draws = None
+    else:
+        stress_norms = jax.vmap(lambda k: jax.random.normal(k, (sim_days, 2)))(
+            streams(rngs.STRESS_NORM))
+        kj = jax.vmap(lambda k: jax.random.split(k, 3))(
+            streams(rngs.STRESS_JUMP))
+        u_jump = jax.vmap(lambda k: jax.random.uniform(k, (sim_days,)))(
+            kj[:, 0])
+        t_abs = jnp.abs(jax.vmap(
+            lambda k: t_int_df(k, 5, (sim_days,)))(kj[:, 1]))
+        jump_sign = jnp.where(
+            jax.vmap(lambda k: jax.random.uniform(k, (sim_days,)))(kj[:, 2])
+            < 0.5, -1.0, 1.0)
 
-    # TE t draws with static integer dfs via the fast sampler.
-    k_te = streams(rngs.TRACKING)
-    static_dfs = cfg.asset_table().te_df
-    cols_by_df = {}
-    for a in range(_A):
-        cols_by_df.setdefault(int(static_dfs[a]), []).append(a)
-    te_parts = {}
-    for df_val, cols in sorted(cols_by_df.items()):
-        draws = jax.vmap(lambda k: t_int_df(
-            jax.random.fold_in(k, df_val), df_val, (sim_days, len(cols))))(k_te)
-        for j, a in enumerate(cols):
-            te_parts[a] = draws[..., j]
-    te_draws = jnp.stack([te_parts[a] for a in range(_A)], axis=-1)
+        # TE t draws with static integer dfs via the fast sampler.
+        k_te = streams(rngs.TRACKING)
+        static_dfs = cfg.asset_table().te_df
+        cols_by_df = {}
+        for a in range(_A):
+            cols_by_df.setdefault(int(static_dfs[a]), []).append(a)
+        te_parts = {}
+        for df_val, cols in sorted(cols_by_df.items()):
+            draws = jax.vmap(lambda k: t_int_df(
+                jax.random.fold_in(k, df_val), df_val,
+                (sim_days, len(cols))))(k_te)
+            for j, a in enumerate(cols):
+                te_parts[a] = draws[..., j]
+        te_draws = jnp.stack([te_parts[a] for a in range(_A)], axis=-1)
 
     return Innovations(
         start_offset=start_offset, start_regime=start_regime,
@@ -869,10 +913,14 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
             [antithetic, jnp.zeros((pad,), antithetic.dtype)]) \
             if pad else antithetic
 
+        # The compose kernel (stress + TE in-kernel) engages under exactly
+        # this condition below; skip the host-side aux draws then.
+        compose_will_run = use_stress and use_funding_model
         innov = draw_innovations_fast(model, run_key, ids_p, anti_p,
                                       sim_days, buffer_days,
                                       random_start_method, anchors=anchors,
-                                      joint_draws=False)
+                                      joint_draws=False,
+                                      aux_draws=not compose_will_run)
         total_days = sim_days + buffer_days
         seed_words = jax.lax.bitcast_convert_type(
             jax.random.key_data(run_key).reshape(-1)[:2], jnp.int32)
