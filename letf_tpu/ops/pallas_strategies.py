@@ -1,0 +1,623 @@
+"""Pallas TPU kernel: all 19 strategies' equity scan in VMEM.
+
+Phase 3 of the SURVEY §7.3 roadmap (phase 1 = ops/pallas_joint.py,
+phase 2 = ops/pallas_compose.py). Replaces the XLA ``lax.scan`` in
+strategies/engine.py for the production (no trade emission) path: the
+2,520-step day loop runs INSIDE one kernel per (trial-tile, day-block)
+program, so the [NS, B] carries (equity, prev allocation, position
+states, trade counts, running max, max drawdown) never round-trip to HBM
+and there is no per-step dispatch overhead.
+
+Semantics are a line-for-line restatement of strategies/engine.py's scan
+body (itself the TPU rebuild of the reference's 15 per-day Python loops,
+letf/strategy.py:55-1277), with the same reference quirks: S7 earns no
+cash on the idle fraction, S8 is costless, S9 freezes on NaN-signal
+days, S19 rebalances only past a 5% threshold, benchmark equity
+compounds from day 0 while loop strategies start at day 1.
+
+The ``*_prev`` signal reads (pandas shift(1)) are realized by carrying
+yesterday's signal values in scratch — the XLA scan materializes 15+
+shifted [S, B] copies in HBM; here each channel is read once.
+
+Mosaic notes (see CLAUDE.md): every select whose operands can hold NaN
+(the min_periods warm-up region of the signals) is a bitwise select
+``(a & m) | (b & ~m)``; finite-operand selects are arithmetic blends.
+Scalar conditions (day-0, S6's 21-day rebalance) never become
+lane-broadcast ``jnp.where``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from letf_tpu import config as cfg
+
+_LANES = 128
+TILE = 8 * _LANES            # minimum trial tile (sub-tile granularity)
+NS = cfg.N_STRATEGIES            # 19
+
+_SPREAD = 0.0003                 # bid-ask spread per unit turnover
+_TURNOVER_EPS = 1e-4
+_POS_CASH, _POS_SAFE, _POS_RISKY = 0.0, 1.0, 2.0
+
+# Channel order of the stacked input slabs (all [B, S] f32 on entry).
+# Channels from index 7 on are read at shift(1) via the prev-scratch;
+# spy_price is passed as a channel (not compounded in-kernel) so its
+# values are bit-identical to the XLA path's cumprod — an iterated
+# product differs by ulps (XLA reassociates cumprod) and flips borderline
+# SMA/trend comparisons.
+CHANNELS = (
+    "r_tqqq", "r_spy", "r_sso", "r_tmf", "cash", "regime", "vix",
+    "spy_price",
+    "std20_mp20", "dstd20_mp20", "std5", "std10", "std20", "std60",
+    "dstd20", "skew60", "mean60", "volmom5", "sum126",
+    "sma200_mp1", "sma200", "sma100_mp1", "rsi14",
+)
+_CI = {name: i for i, name in enumerate(CHANNELS)}
+NCH = len(CHANNELS)
+
+# Scratch state rows.
+_EQ = 0                      # 19 rows: equity
+_PA = _EQ + NS               # 19 rows: prev allocation
+_TR = _PA + NS               # 19 rows: trade counts (f32, exact ints)
+_RM = _TR + NS               # 19 rows: running max
+_DD = _RM + NS               # 19 rows: max drawdown
+_POS4 = _DD + NS
+_POS5 = _POS4 + 1
+_POS8 = _POS5 + 1
+_S6P0 = _POS8 + 1
+_S6P1 = _S6P0 + 1
+_S6E0 = _S6P1 + 1
+_S6E1 = _S6E0 + 1
+_PVIX = _S6E1 + 1            # prev-day VIX
+_PSIG = _PVIX + 1            # prev-day shift(1) rows (channel order
+                             # spy_price .. rsi14)
+_NSIG = NCH - 7              # 16 shifted channels
+NSTATE = _PSIG + _NSIG
+
+
+def _f(mask):
+    """bool tile -> 0/1 f32 mask (NaN compares are already False)."""
+    return mask.astype(jnp.float32)
+
+
+def _asel(m, a, b):
+    """Arithmetic select for FINITE operands: m*a + (1-m)*b."""
+    return m * a + (1.0 - m) * b
+
+
+def _bsel(m, a, b):
+    """Bitwise select, safe when a or b holds NaN. m: 0/1 f32 mask."""
+    mi = (-m.astype(jnp.int32))                      # 0 / -1
+    ai = pltpu.bitcast(a, jnp.int32)
+    bi = pltpu.bitcast(b, jnp.int32)
+    return pltpu.bitcast((ai & mi) | (bi & ~mi), jnp.float32)
+
+
+def _guard(v, eps, default):
+    """(mask, safe_v): mask=1 where v is finite and >= eps; safe_v
+    replaces bad lanes by `default` (bitwise, NaN-proof).
+
+    Matches jnp.where(isnan(v) | (v < eps), default, v): NaN >= eps is
+    False, so the complement mask is exactly (v >= eps)."""
+    m = _f(v >= eps)
+    full = jnp.full_like(v, default)
+    return m, _bsel(m, v, full)
+
+
+def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
+                     apply_costs: bool, has_cashflows: bool,
+                     consts: dict, sub: int):
+    """One (trial-tile, day-block) program.
+
+    cf_ref: [S] f32 cashflow schedule (SMEM; zeros when has_cashflows is
+    False — the adds are skipped statically then).
+    refs: NCH input channel refs ([1, day_block, 8, 128] f32 each),
+    then out_ref [1, 64, 8, 128] f32, then state scratch
+    [NSTATE, 8, 128] f32.
+    """
+    ch_refs = refs[:NCH]
+    out_ref = refs[NCH]
+    state = refs[NCH + 1]
+    j = pl.program_id(1)
+
+    IC = consts["initial_capital"]
+    SP0, SP1 = consts["spread_bps0"], consts["spread_bps1"]
+    RCPD = consts["rebalance_cost"]
+    TQQQ_LEV = consts["tqqq_lev"]
+    L6A, L6B = consts["s6_lev_a"], consts["s6_lev_b"]
+    W6A, W6B = 0.6, 0.4
+
+    nan_tile = jnp.full((sub, _LANES), jnp.nan, jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        zeros = jnp.zeros((sub, _LANES), jnp.float32)
+        for i in range(NS):
+            state[_EQ + i] = zeros + IC
+            state[_PA + i] = zeros
+            state[_TR + i] = zeros
+            state[_RM + i] = zeros + IC
+            state[_DD + i] = zeros
+        state[_POS4] = zeros
+        state[_POS5] = zeros
+        state[_POS8] = zeros + _POS_CASH
+        state[_S6P0] = zeros + IC * W6A
+        state[_S6P1] = zeros + IC * W6B
+        state[_S6E0] = zeros + L6A
+        state[_S6E1] = zeros + L6B
+        state[_PVIX] = nan_tile
+        for i in range(_NSIG):
+            state[_PSIG + i] = nan_tile
+
+    def body(d, _):
+        t = j * day_block + d
+        first = (j == 0) & (d == 0)
+        # 0/1 f32 scalars (scalar select, stays in SREGs).
+        ff = jnp.float32(1.0) * first.astype(jnp.float32)
+        nf = 1.0 - ff
+
+        def ch(name):
+            return ch_refs[_CI[name]][0, d]
+
+        def prev(name):
+            """shift(1) read: yesterday's channel value (NaN on day 0 —
+            the scratch rows are NaN-initialized)."""
+            return state[_PSIG + _CI[name] - 7]
+
+        r_tqqq = ch("r_tqqq")
+        r_spy = ch("r_spy")
+        r_sso = ch("r_sso")
+        r_tmf = ch("r_tmf")
+        cashr = ch("cash")
+        reg = ch("regime")                       # 0/1 f32
+        vix = ch("vix")
+        vix_prev = state[_PVIX]
+        pp = prev("spy_price")                   # NaN on day 0
+
+        eq = [state[_EQ + i] for i in range(NS)]
+        pa = [state[_PA + i] for i in range(NS)]
+
+        rets = [None] * NS
+        traded = [None] * NS                     # 0/1 f32 masks
+        pa_new = [None] * NS
+
+        # ---- S1-S3 benchmarks ----
+        for i, rb in enumerate((r_tqqq, r_spy, r_sso)):
+            rets[i] = rb
+            traded[i] = jnp.zeros_like(rb)
+            pa_new[i] = pa[i]
+
+        # ---- S4/S5 SMA state machines ----
+        sma1 = prev("sma200_mp1")
+        buy4 = _f(pp >= sma1)                    # NaN-safe: NaN -> 0
+        sell4 = _f(pp < sma1)
+        pos4 = state[_POS4]
+        in4 = _f(pos4 == 1.0)
+        new4 = _asel(in4, 1.0 - sell4, buy4)     # finite operands
+        new4 = _asel(jnp.full_like(new4, ff), pos4, new4)
+        flip4 = _f(new4 != pos4)
+
+        thresh5 = sma1 * (1.0 - 0.02)
+        buy5 = _f(pp >= thresh5)
+        sell5 = _f(pp < thresh5)
+        pos5 = state[_POS5]
+        in5 = _f(pos5 == 1.0)
+        new5 = _asel(in5, 1.0 - sell5, buy5)
+        new5 = _asel(jnp.full_like(new5, ff), pos5, new5)
+        flip5 = _f(new5 != pos5)
+
+        sma_cost = ((SP0 + (SP1 - SP0) * reg) / 10000.0
+                    + RCPD * TQQQ_LEV * jnp.abs(r_tqqq))
+        for i, (newp, flip) in enumerate(((new4, flip4), (new5, flip5))):
+            ret_s = _asel(newp, r_tqqq, cashr)
+            if apply_costs:
+                ret_s = ret_s - flip * sma_cost
+            rets[3 + i] = ret_s
+            traded[3 + i] = flip
+            pa_new[3 + i] = pa[3 + i]
+
+        # ---- S6 60/40 TQQQ/TMF with leverage-drift turnover ----
+        s6p0, s6p1 = state[_S6P0], state[_S6P1]
+        s6e0, s6e1 = state[_S6E0], state[_S6E1]
+        pg0 = s6p0 * (1.0 + r_tqqq)
+        pg1 = s6p1 * (1.0 + r_tmf)
+        u6a, u6b = r_tqqq / L6A, r_tmf / L6B
+        den_a, den_b = 1.0 + L6A * u6a, 1.0 + L6B * u6b
+        emb0 = _asel(_f(jnp.abs(den_a) > 0.01),
+                     L6A * (1.0 + u6a) / _bsel(_f(jnp.abs(den_a) > 0.01),
+                                               den_a,
+                                               jnp.full_like(den_a, 1.0)),
+                     jnp.full_like(den_a, L6A))
+        emb1 = _asel(_f(jnp.abs(den_b) > 0.01),
+                     L6B * (1.0 + u6b) / _bsel(_f(jnp.abs(den_b) > 0.01),
+                                               den_b,
+                                               jnp.full_like(den_b, 1.0)),
+                     jnp.full_like(den_b, L6B))
+        total6 = pg0 + pg1
+        reb = ((t % 21) == 0) & (t > 0)
+        rebf = jnp.float32(1.0) * reb.astype(jnp.float32)   # scalar 0/1
+        inv_t6 = 1.0 / jnp.maximum(total6, 1e-30)
+        cw0, cw1 = pg0 * inv_t6, pg1 * inv_t6
+        w_turn = jnp.abs(cw0 - W6A) + jnp.abs(cw1 - W6B)
+        lev_turn = (jnp.abs(emb0 - L6A) / L6A * cw0
+                    + jnp.abs(emb1 - L6B) / L6B * cw1)
+        tot_turn = w_turn + lev_turn
+        if apply_costs:
+            do_cost = rebf * _f(tot_turn > 0.01)
+        else:
+            do_cost = jnp.zeros_like(tot_turn)
+        total_after = _asel(do_cost, total6 * (1.0 - tot_turn * RCPD),
+                            total6)
+        s6p0n = _asel(jnp.full_like(pg0, rebf), total_after * W6A, pg0)
+        s6p1n = _asel(jnp.full_like(pg1, rebf), total_after * W6B, pg1)
+        s6e0n = _asel(jnp.full_like(emb0, rebf), jnp.full_like(emb0, L6A),
+                      emb0)
+        s6e1n = _asel(jnp.full_like(emb1, rebf), jnp.full_like(emb1, L6B),
+                      emb1)
+        fft = jnp.full_like(pg0, ff)
+        s6p0n = _asel(fft, s6p0, s6p0n)
+        s6p1n = _asel(fft, s6p1, s6p1n)
+        s6e0n = _asel(fft, s6e0, s6e0n)
+        s6e1n = _asel(fft, s6e1, s6e1n)
+        equity6 = _asel(fft, eq[5], total_after)
+        rets[5] = jnp.zeros_like(pg0)            # placeholder
+        traded[5] = jnp.full_like(pg0, rebf * nf)
+        pa_new[5] = pa[5]
+
+        def vol_family(i, alloc, include_cash=True,
+                       threshold=_TURNOVER_EPS):
+            """Common turnover/cost/return machinery (S7, S9-S18).
+            alloc must be finite. Returns (ret, traded_mask)."""
+            turnover = jnp.abs(alloc - pa[i])
+            tr = _f(turnover > threshold)
+            if include_cash:
+                ret = alloc * r_tqqq + (1.0 - alloc) * cashr
+            else:
+                ret = alloc * r_tqqq
+            if apply_costs:
+                ret = ret - tr * turnover * _SPREAD
+            return ret, tr
+
+        # ---- S7 vol targeting 20% (NO cash on idle fraction) ----
+        m7, v7 = _guard(ch("std20_mp20"), 0.01, 1.0)   # unshifted read
+        pos7 = _asel(m7, jnp.clip(0.20 / v7, 0.2, 2.0),
+                     jnp.full_like(v7, 1.0))
+        rets[6], traded[6] = vol_family(6, pos7, include_cash=False)
+        pa_new[6] = pos7
+
+        # ---- S8 composite regime (TQQQ / SPY / cash; NO costs) ----
+        sma8 = prev("sma200")
+        rsi8 = prev("rsi14")
+        sc = (_f(pp > sma8) + _f((rsi8 > 40.0) & (rsi8 < 80.0))
+              + _f(vix_prev < 25.0))
+        target8 = _asel(_f(sc == 3.0), jnp.full_like(sc, _POS_RISKY),
+                        _asel(_f(sc == 2.0), jnp.full_like(sc, _POS_SAFE),
+                              jnp.full_like(sc, _POS_CASH)))
+        ret8 = _asel(_f(target8 == _POS_RISKY), r_tqqq,
+                     _asel(_f(target8 == _POS_SAFE), r_spy, cashr))
+        pos8 = state[_POS8]
+        switch8 = _f(target8 != pos8) * nf
+        target8 = _asel(jnp.full_like(target8, ff), pos8, target8)
+        ret8 = ret8 * nf
+        rets[7] = ret8
+        traded[7] = switch8
+        pa_new[7] = pa[7]
+
+        # ---- S9 adaptive vol target (skips NaN days entirely) ----
+        v9r = prev("std20_mp20")
+        sma9 = prev("sma200")
+        ok9 = _f(v9r >= 0.001) * _f(~jnp.isnan(sma9))
+        skip9 = 1.0 - ok9
+        bull9 = _f(pp > sma9)
+        target_v9 = _asel(bull9, jnp.full_like(bull9, 0.35),
+                          jnp.full_like(bull9, 0.12))
+        v9 = _bsel(ok9, v9r, jnp.full_like(v9r, 1.0))
+        alloc9 = jnp.clip(target_v9 / v9, 0.0, 1.0)
+        alloc9 = _asel(ok9, alloc9, pa[8])
+        ret9, tr9 = vol_family(8, alloc9)
+        rets[8] = ret9 * ok9
+        traded[8] = tr9 * ok9
+        pa_new[8] = alloc9
+
+        # ---- S10 Sortino (downside vol target) ----
+        m10, dv10 = _guard(prev("dstd20_mp20"), 0.001, 1.0)
+        alloc10 = _asel(m10, jnp.clip(0.15 / dv10, 0.0, 1.5),
+                        jnp.full_like(dv10, 1.0))
+        rets[9], traded[9] = vol_family(9, alloc10)
+        pa_new[9] = alloc10
+
+        # ---- S11 hyper-convex ----
+        _, v11 = _guard(prev("std20"), 0.001, 0.5)
+        alloc11 = 0.25 / v11
+        bull11 = _f(pp > prev("sma200_mp1"))
+        alloc11 = _asel(bull11, alloc11 ** 1.2, alloc11)
+        alloc11 = jnp.clip(alloc11, 0.0, 1.0)
+        rets[10], traded[10] = vol_family(10, alloc11)
+        pa_new[10] = alloc11
+
+        # ---- S12 vol velocity (max of fast/slow vols) ----
+        v12r = jnp.maximum(prev("std20"), prev("std5"))   # NaN -> NaN? see
+        # jnp.maximum propagates NaN like XLA's: max(NaN, x) = NaN on both.
+        _, v12 = _guard(v12r, 0.001, 0.5)
+        alloc12 = jnp.clip(0.22 / v12, 0.0, 1.0)
+        rets[11], traded[11] = vol_family(11, alloc12)
+        pa_new[11] = alloc12
+
+        # ---- S13 vol-of-vol momentum ----
+        _, v13 = _guard(prev("std20"), 0.001, 0.5)
+        vm13 = prev("volmom5")
+        alloc13 = 0.25 / v13
+        alloc13 = _asel(_f(vm13 < -0.10), alloc13 * 1.2, alloc13)
+        alloc13 = _asel(_f(vm13 > 0.10), alloc13 * 0.7, alloc13)
+        alloc13 = jnp.clip(alloc13, 0.0, 1.0)
+        rets[12], traded[12] = vol_family(12, alloc13)
+        pa_new[12] = alloc13
+
+        # ---- S14 skewness-adjusted convex ----
+        _, v14 = _guard(prev("std20"), 0.001, 0.5)
+        s14 = prev("skew60")
+        alloc14 = 0.25 / v14
+        alloc14 = _asel(_f(s14 > 0.0), alloc14 ** 1.3, alloc14)
+        alloc14 = _asel(_f(s14 < -0.5), alloc14 * 0.5, alloc14)
+        alloc14 = jnp.clip(alloc14, 0.0, 1.0)
+        rets[13], traded[13] = vol_family(13, alloc14)
+        pa_new[13] = alloc14
+
+        # ---- S15 meta-ensemble ----
+        _, dv15 = _guard(prev("dstd20"), 0.001, 0.25)
+        alloc15 = 0.28 / dv15
+        bull15 = _f(pp > prev("sma200_mp1"))
+        alloc15 = _asel(bull15, alloc15 ** 1.2, alloc15)
+        brake15 = _f(prev("std5") > 1.5 * prev("std20"))
+        alloc15 = _asel(brake15, alloc15 * 0.5, alloc15)
+        alloc15 = jnp.clip(alloc15, 0.0, 1.0)
+        rets[14], traded[14] = vol_family(14, alloc15)
+        pa_new[14] = alloc15
+
+        # ---- S16 crisis alpha (regime asymmetric) ----
+        vr16 = prev("std5") / prev("std60")
+        crisis16 = jnp.minimum(_f(vix > 25.0) + _f(vr16 > 1.5), 1.0)
+        target16 = _asel(crisis16, jnp.full_like(vix, 0.08),
+                         jnp.full_like(vix, 0.30))
+        m16, rv16 = _guard(prev("std5"), 0.001, 1.0)
+        alloc16 = _asel(m16, jnp.clip(target16 / rv16, 0.0, 1.2),
+                        jnp.full_like(rv16, 0.5))
+        rets[15], traded[15] = vol_family(15, alloc16)
+        pa_new[15] = alloc16
+
+        # ---- S17 tail-risk optimizer (skew-aware Kelly) ----
+        _, vol17 = _guard(prev("std20"), 0.001, 0.25)
+        m17b = _f(prev("dstd20") >= 0.001)
+        dvol17 = _bsel(m17b, prev("dstd20"), vol17 * 0.6)
+        skew17 = _bsel(_f(~jnp.isnan(prev("skew60"))), prev("skew60"),
+                       jnp.zeros_like(vol17))
+        mean17 = _bsel(_f(~jnp.isnan(prev("mean60"))), prev("mean60"),
+                       jnp.full_like(vol17, 0.08))
+        sneg5 = _f(skew17 < -0.5)
+        sneg0 = _f(skew17 < 0.0)
+        spos5 = _f(skew17 > 0.5)
+        eff17 = _asel(sneg5, dvol17 * 1.5,
+                      _asel(sneg0, dvol17 * 1.2,
+                            _asel(spos5, vol17 * 0.9, vol17)))
+        pen17 = _asel(sneg5, jnp.full_like(vol17, 0.6),
+                      _asel(sneg0, jnp.full_like(vol17, 0.8),
+                            _asel(spos5, jnp.full_like(vol17, 1.2),
+                                  jnp.full_like(vol17, 1.0))))
+        # eff17 > 0 by construction (vol/dvol floors), so the divisions
+        # below are finite everywhere — arithmetic selects are safe.
+        me17 = _f(eff17 > 0.01)
+        kelly17 = _asel(me17,
+                        jnp.clip((mean17 - 0.03) / (eff17 * eff17)
+                                 * 0.7, 0.2, 2.0),
+                        jnp.full_like(eff17, 1.0))
+        alloc17 = jnp.clip((0.30 / eff17) * pen17 * (kelly17 / 1.5),
+                           0.0, 1.5)
+        rets[16], traded[16] = vol_family(16, alloc17)
+        pa_new[16] = alloc17
+
+        # ---- S18 momentum-vol convergence ----
+        mom18 = _bsel(_f(~jnp.isnan(prev("sum126"))), prev("sum126"),
+                      jnp.zeros_like(vix))
+        _, vf18 = _guard(prev("std10"), 0.001, 0.30)
+        _, vs18 = _guard(prev("std60"), 0.001, 0.25)
+        mm18 = _asel(_f(mom18 > 0.05), jnp.full_like(vix, 1.3),
+                     _asel(_f(mom18 > 0.0), jnp.full_like(vix, 1.0),
+                           jnp.full_like(vix, 0.5)))
+        vr18 = vf18 / vs18
+        out_band = jnp.minimum(_f(vr18 < 0.8) + _f(vr18 > 1.3), 1.0)
+        vm18 = _asel(_f(vr18 < 0.8), jnp.full_like(vix, 1.2),
+                     _asel(_f(vr18 > 1.3), jnp.full_like(vix, 0.6),
+                           jnp.full_like(vix, 1.0)))
+        eff18 = _asel(out_band, vf18, vs18)
+        alloc18 = jnp.clip(0.28 * mm18 * vm18 / eff18, 0.0, 1.5)
+        rets[17], traded[17] = vol_family(17, alloc18)
+        pa_new[17] = alloc18
+
+        # ---- S19 conviction compounder (5% rebalance threshold) ----
+        mom19 = _bsel(_f(~jnp.isnan(prev("sum126"))), prev("sum126"),
+                      jnp.zeros_like(vix))
+        _, dv19 = _guard(prev("dstd20"), 0.001, 0.20)
+        _, vf19 = _guard(prev("std5"), 0.001, 0.30)
+        _, vs19 = _guard(prev("std60"), 0.001, 0.25)
+        mom_score = _asel(_f(mom19 > 0.15), jnp.full_like(vix, 1.0),
+                          _asel(_f(mom19 > 0.05), jnp.full_like(vix, 0.7),
+                                _asel(_f(mom19 > 0.0),
+                                      jnp.full_like(vix, 0.4),
+                                      jnp.zeros_like(vix))))
+        trend_score = _f(pp > prev("sma100_mp1")) * 0.5
+        vr19 = vf19 / vs19
+        vol_score = _asel(_f(vr19 < 0.9), jnp.full_like(vix, 0.5),
+                          _asel(_f(vr19 < 1.2), jnp.full_like(vix, 0.3),
+                                jnp.zeros_like(vix)))
+        conviction = mom_score + trend_score + vol_score
+        cand19 = jnp.clip((0.32 / dv19) * (0.3 + conviction * 0.55),
+                          0.0, 1.5)
+        turn19 = jnp.abs(cand19 - pa[18])
+        rebal19 = _f(turn19 > 0.05)
+        alloc19 = _asel(rebal19, cand19, pa[18])
+        ret19 = alloc19 * r_tqqq + (1.0 - alloc19) * cashr
+        if apply_costs:
+            ret19 = ret19 - rebal19 * turn19 * _SPREAD
+        rets[18] = ret19
+        traded[18] = rebal19
+        pa_new[18] = alloc19
+
+        # ---- combine ----
+        eq_new = [None] * NS
+        for i in range(NS):
+            r_i = rets[i] if i < 3 else rets[i] * nf   # day-0 quirk
+            eq_new[i] = eq[i] * (1.0 + r_i)
+        eq_new[5] = equity6
+        # Cashflow overlay + ruin floor. The floor applies even with no
+        # cashflows (equity can go below zero when a levered daily loss
+        # plus costs exceeds -100%) — same as the XLA scan's
+        # max(equity + cf, 0) with a zero schedule.
+        pre5 = eq_new[5]
+        cf = cf_ref[t] if has_cashflows else 0.0
+        for i in range(NS):
+            eq_new[i] = jnp.maximum(eq_new[i] + cf, 0.0)
+        s6_scale = eq_new[5] / jnp.maximum(pre5, 1e-30)
+        s6p0n = s6p0n * s6_scale
+        s6p1n = s6p1n * s6_scale
+
+        for i in range(NS):
+            tr_i = traded[i] * nf
+            if i == 5:
+                tr_i = tr_i * 2.0
+            state[_TR + i] = state[_TR + i] + tr_i
+
+            rm = state[_RM + i]
+            rm_new = _asel(jnp.full_like(rm, ff), eq_new[i],
+                           jnp.maximum(rm, eq_new[i]))
+            denom = jnp.maximum(rm_new, 1e-30)
+            safe_rm = _asel(_f(rm_new > 0.0), denom,
+                            jnp.full_like(rm_new, 1.0))
+            dd = (eq_new[i] - rm_new) / safe_rm
+            state[_DD + i] = jnp.maximum(state[_DD + i], -dd)
+            state[_RM + i] = rm_new
+            state[_EQ + i] = eq_new[i]
+            state[_PA + i] = _asel(jnp.full_like(rm, ff), pa[i], pa_new[i])
+
+        state[_POS4] = _asel(jnp.full_like(new4, ff), pos4, new4)
+        state[_POS5] = _asel(jnp.full_like(new5, ff), pos5, new5)
+        state[_POS8] = target8          # already day-0 blended
+        state[_S6P0] = s6p0n
+        state[_S6P1] = s6p1n
+        state[_S6E0] = s6e0n
+        state[_S6E1] = s6e1n
+
+        # roll the shift(1) scratch
+        state[_PVIX] = vix
+        for i in range(_NSIG):
+            state[_PSIG + i] = ch_refs[7 + i][0, d]
+        return 0
+
+    jax.lax.fori_loop(0, day_block, body, 0)
+
+    @pl.when(j == n_blocks - 1)
+    def _():
+        zeros = jnp.zeros((sub, _LANES), jnp.float32)
+        for i in range(NS):
+            out_ref[0, i] = state[_EQ + i]
+            out_ref[0, NS + i] = state[_TR + i]
+            out_ref[0, 2 * NS + i] = state[_DD + i]
+        for i in range(3 * NS, 64):
+            out_ref[0, i] = zeros
+
+
+def _consts():
+    return dict(
+        initial_capital=float(cfg.INITIAL_CAPITAL),
+        spread_bps0=float(cfg.BASE_SPREAD_BPS[0]),
+        spread_bps1=float(cfg.BASE_SPREAD_BPS[1]),
+        rebalance_cost=float(cfg.REBALANCE_COST_PER_DOLLAR),
+        tqqq_lev=float(cfg.ASSETS["TQQQ"].leverage),
+        s6_lev_a=float(cfg.ASSETS["TQQQ"].leverage),
+        s6_lev_b=float(cfg.ASSETS["TMF"].leverage),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("apply_costs", "day_block",
+                                             "interpret", "sub"))
+def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
+                          day_block: int = 8, interpret: bool = False,
+                          sub: int = 0):
+    """channels: [NCH] list/tuple of [B, S] f32 arrays in CHANNELS order.
+    Returns (final_wealth [B, NS], num_trades [B, NS] int32,
+    max_dd [B, NS]).
+
+    ``sub``: sublane height of the per-program trial tile (0 = auto: the
+    largest of 32/16/8 dividing B/128). The day loop is a serial chain of
+    small VPU ops, so per-op latency dominates at (8, 128); a taller tile
+    gives the VPU independent sub-tiles to overlap within each op."""
+    B, S = channels[0].shape
+    assert B % TILE == 0, B
+    if sub == 0:
+        sub = next(h for h in (32, 16, 8) if B % (h * _LANES) == 0)
+    G = B // (sub * _LANES)
+    while S % day_block != 0:
+        day_block //= 2
+    NB = S // day_block
+
+    def slab(a):
+        return (a.astype(jnp.float32).reshape(G, sub, _LANES, S)
+                .transpose(0, 3, 1, 2))
+
+    ins = [slab(a) for a in channels]
+    has_cf = cashflows is not None
+    cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
+          else jnp.zeros((S,), jnp.float32))
+
+    blk = pl.BlockSpec((1, day_block, sub, _LANES),
+                       lambda g, j: (g, j, 0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _strategy_kernel, day_block=day_block, n_blocks=NB,
+        apply_costs=apply_costs, has_cashflows=has_cf, consts=_consts(),
+        sub=sub)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, NB),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * NCH,
+        out_specs=pl.BlockSpec((1, 64, sub, _LANES),
+                               lambda g, j: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 64, sub, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((NSTATE, sub, _LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(cf, *ins)
+
+    flat = out.transpose(0, 2, 3, 1).reshape(B, 64)
+    final_wealth = flat[:, :NS]
+    num_trades = flat[:, NS:2 * NS].astype(jnp.int32)
+    max_dd = flat[:, 2 * NS:3 * NS]
+    return final_wealth, num_trades, max_dd
+
+
+def channels_from(path, sig):
+    """Build the CHANNELS-ordered [B, S] array list from PathOutputs +
+    SignalSet (same sources the XLA scan consumes)."""
+    from letf_tpu.strategies.signals import (
+        IDX_SPY, IDX_SSO, IDX_TMF, IDX_TQQQ,
+    )
+
+    etf = path.etf_ret
+    return [
+        etf[:, :, IDX_TQQQ], etf[:, :, IDX_SPY], etf[:, :, IDX_SSO],
+        etf[:, :, IDX_TMF], path.cash_ret,
+        path.regime.astype(jnp.float32), path.vix, sig.spy_price,
+        sig.tqqq_std20_mp20, sig.tqqq_dstd20_mp20, sig.tqqq_std5,
+        sig.tqqq_std10, sig.tqqq_std20, sig.tqqq_std60, sig.tqqq_dstd20,
+        sig.tqqq_skew60, sig.tqqq_mean60_ann, sig.tqqq_volmom5,
+        sig.spy_sum126, sig.spy_sma200_mp1, sig.spy_sma200,
+        sig.spy_sma100_mp1, sig.spy_rsi14,
+    ]

@@ -31,7 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_ROW_BUDGET = 4096   # VMEM rows per working tile (~8 MB with pipelining)
+# VMEM rows per working tile. 8192 rows x 128 lanes x 4 B = 4 MB for the
+# working tile (~8 MB peak with the rolled copy); large enough that a 30y
+# window (7560 + 1264 rows) still runs as ONE block per program — fewer
+# blocks means less lookahead-tail read amplification (the tail is
+# re-read once per block) and a smaller staged tails tensor.
+_ROW_BUDGET = 8192
 
 
 def _pick_day_block(sim_days: int, max_off_pad: int) -> int | None:

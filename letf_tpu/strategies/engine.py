@@ -104,11 +104,13 @@ def withdrawal_schedule(sim_days: int, annual_amount: float,
     return cf
 
 
-@functools.partial(jax.jit, static_argnames=("apply_costs", "emit_trades"))
+@functools.partial(jax.jit, static_argnames=("apply_costs", "emit_trades",
+                                             "strategy_kernel"))
 def run_strategies_batch(path: PathOutputs, sig: SignalSet,
                          apply_costs: bool = True,
                          emit_trades: bool = False,
-                         cashflows=None) -> StrategyResults:
+                         cashflows=None,
+                         strategy_kernel: str = "auto") -> StrategyResults:
     """Run S1-S19 over a path batch. path/sig arrays are [B, S, ...].
 
     ``cashflows``: optional [S] per-day dollar flows (positive =
@@ -119,6 +121,26 @@ def run_strategies_batch(path: PathOutputs, sig: SignalSet,
     """
     B, S, A = path.etf_ret.shape
     dt = path.etf_ret.dtype
+
+    # Production path: the phase-3 Pallas kernel (ops/pallas_strategies.py)
+    # runs the whole day loop in VMEM — no per-step dispatch, no HBM carry
+    # round-trips, no shifted signal copies. The XLA scan below remains the
+    # general path (trade emission, CPU/f64 parity tests, odd batch sizes).
+    if strategy_kernel != "off" and not emit_trades:
+        from letf_tpu.ops.pallas_strategies import (
+            TILE as _K_TILE,
+            channels_from,
+            pallas_strategies_run,
+        )
+
+        if (jax.default_backend() == "tpu" and dt == jnp.float32
+                and B % _K_TILE == 0):
+            fw, nt, mdd = pallas_strategies_run(
+                channels_from(path, sig), cashflows=cashflows,
+                apply_costs=apply_costs)
+            return StrategyResults(
+                final_wealth=fw, num_trades=nt, max_dd=mdd,
+                tj_alloc=None, tj_value=None, tj_price=None, tj_asset=None)
 
     # Time-major xs for the scan: [S, B, ...]
     def tm(x):
