@@ -299,14 +299,20 @@ def _pack_asset_params(model):
 
 @functools.partial(jax.jit,
                    static_argnames=("sim_days", "day_block", "use_stress",
-                                    "use_funding"))
+                                    "use_funding", "layout"))
 def pallas_compose_generate(sp, ap, base_ids, seed_words,
                             spy, qqq, tlt, vix, irx, regime,
                             sim_days: int, day_block: int = 64,
                             use_stress: bool = True,
-                            use_funding: bool = True):
+                            use_funding: bool = True,
+                            layout: str = "bs"):
     """Windowed inputs [B, S] -> (etf_ret [B, S, A], spy_adj, qqq_adj,
-    cash_ret [B, S], jump_days [B], liq_mean [B], cred_mean [B])."""
+    cash_ret [B, S], jump_days [B], liq_mean [B], cred_mean [B]).
+
+    layout="slab" skips the output unslab transposes and returns
+    (etf_slabs tuple of 6 [G, S, 8, 128], spy_adj_slab, qqq_adj_slab,
+    cash_slab, jump_count [B], liq_sum [B], cred_sum [B]) — the native
+    layout the slab pipeline (ops/slab_chunk.py) consumes."""
     B, S = spy.shape
     und_key = tuple(int(i) for i in cfg.asset_table().underlying)
     assert B % TILE == 0, B
@@ -357,11 +363,15 @@ def pallas_compose_generate(sp, ap, base_ids, seed_words,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seed_words.astype(jnp.int32), sp, ap, ids, *ins)
 
+    summ = outs[9]
+    flat = summ.transpose(0, 2, 3, 1).reshape(B, 8)
+    if layout == "slab":
+        return (tuple(outs[:_A]), outs[6], outs[7], outs[8],
+                flat[:, 0], flat[:, 1], flat[:, 2])
+
     def unslab(a):
         return a.transpose(0, 2, 3, 1).reshape(B, S)
 
     etf = jnp.stack([unslab(outs[a]) for a in range(_A)], axis=-1)
     spy_a, qqq_a, cash = (unslab(outs[i]) for i in range(6, 9))
-    summ = outs[9]
-    flat = summ.transpose(0, 2, 3, 1).reshape(B, 8)
     return etf, spy_a, qqq_a, cash, flat[:, 0], flat[:, 1], flat[:, 2]

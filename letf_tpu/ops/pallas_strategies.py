@@ -545,11 +545,13 @@ def _consts():
 
 
 @functools.partial(jax.jit, static_argnames=("apply_costs", "day_block",
-                                             "interpret", "sub"))
+                                             "interpret", "sub", "layout"))
 def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
                           day_block: int = 8, interpret: bool = False,
-                          sub: int = 0):
-    """channels: [NCH] list/tuple of [B, S] f32 arrays in CHANNELS order.
+                          sub: int = 0, layout: str = "bs"):
+    """channels: [NCH] list/tuple of [B, S] f32 arrays in CHANNELS order —
+    or, with layout="slab", already-slabbed [G, S, sub, 128] arrays (the
+    slab pipeline's native layout; no transpose staging).
     Returns (final_wealth [B, NS], num_trades [B, NS] int32,
     max_dd [B, NS]).
 
@@ -557,20 +559,25 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
     largest of 32/16/8 dividing B/128). The day loop is a serial chain of
     small VPU ops, so per-op latency dominates at (8, 128); a taller tile
     gives the VPU independent sub-tiles to overlap within each op."""
-    B, S = channels[0].shape
-    assert B % TILE == 0, B
-    if sub == 0:
-        sub = next(h for h in (32, 16, 8) if B % (h * _LANES) == 0)
-    G = B // (sub * _LANES)
+    if layout == "slab":
+        G, S, sub, _ = channels[0].shape
+        B = G * sub * _LANES
+        ins = [a.astype(jnp.float32) for a in channels]
+    else:
+        B, S = channels[0].shape
+        assert B % TILE == 0, B
+        if sub == 0:
+            sub = next(h for h in (32, 16, 8) if B % (h * _LANES) == 0)
+        G = B // (sub * _LANES)
+
+        def slab(a):
+            return (a.astype(jnp.float32).reshape(G, sub, _LANES, S)
+                    .transpose(0, 3, 1, 2))
+
+        ins = [slab(a) for a in channels]
     while S % day_block != 0:
         day_block //= 2
     NB = S // day_block
-
-    def slab(a):
-        return (a.astype(jnp.float32).reshape(G, sub, _LANES, S)
-                .transpose(0, 3, 1, 2))
-
-    ins = [slab(a) for a in channels]
     has_cf = cashflows is not None
     cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
           else jnp.zeros((S,), jnp.float32))

@@ -420,6 +420,68 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
         mode_key=streams(rngs.BOOTSTRAP))
 
 
+def window_series(x_full, vix_full, irx_full, regime_full, start_offset,
+                  sim_days: int):
+    """Per-trial offset windowing of the generated series:
+    out[b, s] = in[b, s + start_offset[b]].
+
+    Returns (spy, qqq, tlt, vix, irx [B, S] float, regime [B, S] int32).
+    Never a gather — a take_along_axis here costs ~20x the surrounding
+    math on TPU:
+    - TPU/f32 production: one-pass Pallas kernel (VMEM shift-select).
+    - elsewhere (CPU tests, f64 parity): XLA binary shift-select tree —
+      ~11 dense conditional rolls; both are bit-identical to the gather
+      (pure data movement)."""
+    B, T = regime_full.shape
+    if T == sim_days:
+        # No buffer => every start_offset is 0 (only the 'offset' method
+        # draws nonzero offsets, and it requires buffer_days > 0): skip
+        # the windowing entirely.
+        return (x_full[..., 0], x_full[..., 1], x_full[..., 2],
+                vix_full, irx_full, regime_full)
+
+    dt = x_full.dtype
+    offs = start_offset                                 # [B]
+    from letf_tpu.ops.pallas_window import (
+        fits_vmem,
+        window_offsets_pallas,
+    )
+
+    use_kernel = (jax.default_backend() == "tpu" and dt == jnp.float32
+                  and B % 128 == 0 and fits_vmem(T, sim_days))
+    if use_kernel:
+        packed = jnp.stack([
+            x_full[..., 0], x_full[..., 1], x_full[..., 2],
+            vix_full, irx_full, regime_full.astype(dt)],
+            axis=0).transpose(0, 2, 1)                      # [6, T, B]
+        w = window_offsets_pallas(packed, offs, sim_days)   # [6, S, B]
+        spy, qqq, tlt = (jnp.moveaxis(w[c], 0, 1) for c in range(3))
+        vix = jnp.moveaxis(w[3], 0, 1)
+        irx = jnp.moveaxis(w[4], 0, 1)
+        regime = jnp.moveaxis(w[5], 0, 1).astype(jnp.int32)
+    else:
+        packed = jnp.concatenate([
+            x_full, vix_full[..., None], irx_full[..., None],
+            regime_full.astype(dt)[..., None]], axis=-1)    # [B, T, 6]
+        max_off = T - sim_days
+        for k in reversed(range(max(1, int(max_off).bit_length()))):
+            # MSB-first: once bit k is applied the remaining shift is
+            # at most 2^k - 1, so the working tensor truncates to
+            # sim_days + 2^k - 1 — the early (largest) levels shrink
+            # the copies the later levels pay for.
+            shift = 1 << k
+            bit = ((offs >> k) & 1) > 0
+            rolled = jnp.concatenate(
+                [packed[:, shift:], packed[:, :shift]], axis=1)
+            packed = jnp.where(bit[:, None, None], rolled,
+                               packed)[:, :sim_days + shift - 1]
+        w = packed[:, :sim_days]
+        spy, qqq, tlt = w[..., 0], w[..., 1], w[..., 2]
+        vix, irx = w[..., 3], w[..., 4]
+        regime = w[..., 5].astype(jnp.int32)
+    return spy, qqq, tlt, vix, irx, regime
+
+
 def _gather_r(table, r):
     """table [R, ...] gathered by regime r [B] -> [B, ...] (R=2 fast path)."""
     if table.shape[0] == 2:
@@ -707,60 +769,9 @@ def path_from_innovations_batched(model: SimModel, innov: Innovations,
             _gather_r(jnp.asarray(model.irx_base, x_full.dtype), regime_full)
             + 0.5 * innov.irx_noise, 0.0, 15.0)
 
-    if T == sim_days:
-        # No buffer => every start_offset is 0 (only the 'offset' method
-        # draws nonzero offsets, and it requires buffer_days > 0): skip the
-        # windowing gather entirely — TPU gathers are the single most
-        # expensive op in this function.
-        regime, vix, irx = regime_full, vix_full, irx_full
-        spy, qqq, tlt = x_full[..., 0], x_full[..., 1], x_full[..., 2]
-    else:
-        # Windowing at per-trial offsets (never a gather — a take_along_axis
-        # here costs ~20x the surrounding math on TPU):
-        # - TPU/f32 production: one-pass Pallas kernel (VMEM shift-select).
-        # - elsewhere (CPU tests, f64 parity): XLA binary shift-select tree
-        #   — ~11 dense conditional rolls; both are bit-identical to the
-        #   gather (pure data movement).
-        dt = x_full.dtype
-        offs = innov.start_offset                       # [B]
-        from letf_tpu.ops.pallas_window import (
-            fits_vmem,
-            window_offsets_pallas,
-        )
-
-        use_kernel = (jax.default_backend() == "tpu" and dt == jnp.float32
-                      and B % 128 == 0 and fits_vmem(T, sim_days))
-        if use_kernel:
-
-            packed = jnp.stack([
-                x_full[..., 0], x_full[..., 1], x_full[..., 2],
-                vix_full, irx_full, regime_full.astype(dt)],
-                axis=0).transpose(0, 2, 1)                      # [6, T, B]
-            w = window_offsets_pallas(packed, offs, sim_days)   # [6, S, B]
-            spy, qqq, tlt = (jnp.moveaxis(w[c], 0, 1) for c in range(3))
-            vix = jnp.moveaxis(w[3], 0, 1)
-            irx = jnp.moveaxis(w[4], 0, 1)
-            regime = jnp.moveaxis(w[5], 0, 1).astype(jnp.int32)
-        else:
-            packed = jnp.concatenate([
-                x_full, vix_full[..., None], irx_full[..., None],
-                regime_full.astype(dt)[..., None]], axis=-1)    # [B, T, 6]
-            max_off = T - sim_days
-            for k in reversed(range(max(1, int(max_off).bit_length()))):
-                # MSB-first: once bit k is applied the remaining shift is
-                # at most 2^k - 1, so the working tensor truncates to
-                # sim_days + 2^k - 1 — the early (largest) levels shrink
-                # the copies the later levels pay for.
-                shift = 1 << k
-                bit = ((offs >> k) & 1) > 0
-                rolled = jnp.concatenate(
-                    [packed[:, shift:], packed[:, :shift]], axis=1)
-                packed = jnp.where(bit[:, None, None], rolled,
-                                   packed)[:, :sim_days + shift - 1]
-            w = packed[:, :sim_days]
-            spy, qqq, tlt = w[..., 0], w[..., 1], w[..., 2]
-            vix, irx = w[..., 3], w[..., 4]
-            regime = w[..., 5].astype(jnp.int32)
+    spy, qqq, tlt, vix, irx, regime = window_series(
+        x_full, vix_full, irx_full, regime_full, innov.start_offset,
+        sim_days)
 
     use_compose_kernel = (
         counter_ctx is not None and jax.default_backend() == "tpu"

@@ -1,0 +1,176 @@
+"""Slab-native production chunk: paths -> signals -> strategies with the
+inter-kernel tensors kept in the Pallas kernels' [G, S, 8, 128] tile
+layout end to end.
+
+The kernel chain (pallas_joint -> window -> pallas_compose ->
+pallas_strategies) operates on (8, 128)-trial tiles, but the general
+PathOutputs/SignalSet path stores [B, S] arrays — so every kernel
+boundary paid [B, S] <-> slab transpose staging (~35 ms just for the
+strategy kernel's 23 channels at B=16384 x 10y, more than the kernel
+itself). This module composes the same kernels with compose's outputs
+staying in slab layout, signals computed by the axis-generalized rolling
+ops directly on slabs (prefix sums along the non-minor day axis — also
+cheaper than the [B, S] layout's cross-lane cumsums), and the strategy
+kernel consuming the slabs in place. Only [B]-sized summaries and two
+small reslabs (windowed vix + regime) remain.
+
+Draws are identical to generate_paths_batched's kernel path (same
+counter-based kernels); only tensor layout differs, so results match up
+to signal-cumsum reassociation ulps. Used by parallel/mc_runner's
+_mc_chunk_body on TPU/f32 when B % 1024 == 0 and no trade emission is
+requested; every other configuration takes the general path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from letf_tpu import config as cfg
+from letf_tpu.models.params import SimModel
+from letf_tpu.ops import rolling as rl
+from letf_tpu.ops.path_engine import _to_device
+
+SQ252 = float(np.sqrt(252.0))
+
+IDX_TQQQ = cfg.ASSET_INDEX["TQQQ"]
+IDX_SSO = cfg.ASSET_INDEX["SSO"]
+IDX_TMF = cfg.ASSET_INDEX["TMF"]
+IDX_SPY = cfg.ASSET_INDEX["SPY"]
+
+
+def _reslab(a, G):
+    """[B, S] -> [G, S, 8, 128] (trial tiles on the last two axes)."""
+    B, S = a.shape
+    return (a.astype(jnp.float32).reshape(G, 8, 128, S)
+            .transpose(0, 3, 1, 2))
+
+
+def _trial_flat(a):
+    """[G, 8, 128] per-trial reduction output -> [B] (trial order)."""
+    return a.reshape(-1)
+
+
+def slab_signal_channels(etf_slabs, cash_slab, regime_slab, vix_slab):
+    """Build the strategy kernel's CHANNELS list (ops/pallas_strategies.py
+    order) from slab-layout inputs. Same formulas as
+    strategies/signals.compute_signals, with time on axis 1."""
+    ax = 1
+    r_tqqq = etf_slabs[IDX_TQQQ]
+    r_spy = etf_slabs[IDX_SPY]
+    spy_price = jnp.cumprod(1.0 + r_spy, axis=ax) * 100.0
+    neg_tqqq = jnp.where(r_tqqq < 0, r_tqqq, 0.0)
+    std20 = rl.rolling_std(r_tqqq, 20, 1, axis=ax) * SQ252
+
+    return [
+        r_tqqq, r_spy, etf_slabs[IDX_SSO], etf_slabs[IDX_TMF],
+        cash_slab, regime_slab, vix_slab, spy_price,
+        rl.rolling_std(r_tqqq, 20, axis=ax) * SQ252,        # std20_mp20
+        rl.rolling_std(neg_tqqq, 20, axis=ax) * SQ252,      # dstd20_mp20
+        rl.rolling_std(r_tqqq, 5, 1, axis=ax) * SQ252,      # std5
+        rl.rolling_std(r_tqqq, 10, 1, axis=ax) * SQ252,     # std10
+        std20,                                              # std20
+        rl.rolling_std(r_tqqq, 60, 1, axis=ax) * SQ252,     # std60
+        rl.rolling_std(neg_tqqq, 20, 1, axis=ax) * SQ252,   # dstd20
+        rl.rolling_skew(r_tqqq, 60, 1, axis=ax),            # skew60
+        rl.rolling_mean(r_tqqq, 60, 1, axis=ax) * 252.0,    # mean60_ann
+        rl.pct_change(std20, 5, axis=ax),                   # volmom5
+        rl.rolling_sum(r_spy, 126, 1, axis=ax),             # sum126
+        rl.rolling_mean(spy_price, 200, 1, axis=ax),        # sma200_mp1
+        rl.rolling_mean(spy_price, 200, axis=ax),           # sma200
+        rl.rolling_mean(spy_price, 100, 1, axis=ax),        # sma100_mp1
+        rl.rsi(spy_price, 14, axis=ax),                     # rsi14
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sim_days", "buffer_days", "random_start_method", "apply_costs",
+    "moment_matching"))
+def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
+                         sim_days: int, buffer_days: int = 0,
+                         random_start_method: str = "offset",
+                         anchors=None, cashflows=None,
+                         apply_costs: bool = True,
+                         moment_matching: bool = True):
+    """One fused production chunk (institutional_v1, stress + funding on):
+    returns the summaries dict of _mc_chunk_body. B must be a multiple of
+    1024; f32 TPU only (the kernels have no CPU lowering)."""
+    from letf_tpu.ops import path_batched as pb
+    from letf_tpu.ops.pallas_compose import (
+        _pack_asset_params,
+        _pack_stress_params,
+        pallas_compose_generate,
+    )
+    from letf_tpu.ops.pallas_joint import _pack_params, pallas_joint_generate
+    from letf_tpu.ops.pallas_strategies import pallas_strategies_run
+
+    model = _to_device(model)
+    B = trial_ids.shape[0]
+    assert B % 1024 == 0, B
+    G = B // 1024
+    T = sim_days + buffer_days
+
+    innov = pb.draw_innovations_fast(
+        model, run_key, trial_ids, antithetic, sim_days, buffer_days,
+        random_start_method, anchors=anchors, joint_draws=False,
+        aux_draws=False)
+
+    seed_words = jax.lax.bitcast_convert_type(
+        jax.random.key_data(run_key).reshape(-1)[:2], jnp.int32)
+    signs = jnp.where(antithetic, -1.0, 1.0).astype(jnp.float32)
+    ids32 = trial_ids.astype(jnp.int32)
+
+    x, vix_full, irx_full = pallas_joint_generate(
+        _pack_params(model), jnp.asarray(model.joint.chi_cheb, jnp.float32),
+        innov.regime_full, ids32, signs, seed_words, T)
+    if moment_matching:
+        theo = jnp.asarray(model.joint.theo_mean, x.dtype)
+        x = x + (theo[None, None, :]
+                 - x.mean(axis=1, keepdims=True)) * 0.1
+
+    spy, qqq, tlt, vix, irx, regime = pb.window_series(
+        x, vix_full, irx_full, innov.regime_full, innov.start_offset,
+        sim_days)
+
+    etf_slabs, _, _, cash_slab, jc, ls, cs = pallas_compose_generate(
+        _pack_stress_params(model), _pack_asset_params(model),
+        ids32, seed_words, spy, qqq, tlt, vix, irx, regime,
+        sim_days=sim_days, layout="slab")
+
+    # ---- validity + repair (twin of path_batched._finish_path) ----
+    finite_etf = jnp.ones((G, 8, 128), bool)
+    repaired_slabs = []
+    for a in range(len(etf_slabs)):
+        e = etf_slabs[a]
+        fin = jnp.isfinite(e)
+        finite_etf = finite_etf & jnp.all(fin, axis=1)
+        repaired_slabs.append(jnp.clip(jnp.where(fin, e, 0.0), -0.999, 10.0))
+    finite_pre = (_trial_flat(finite_etf)
+                  & jnp.all(jnp.isfinite(tlt), axis=1)
+                  & jnp.all(jnp.isfinite(vix), axis=1))
+    vix_ok = (jnp.all(jnp.isfinite(vix), axis=1)
+              & (vix.min(axis=1) >= 5.0) & (vix.max(axis=1) <= 120.0))
+    valid_pre = finite_pre & vix_ok
+    repaired = ~valid_pre
+    valid = vix_ok
+
+    # ---- signals + strategies, all in slab layout ----
+    regime_slab = _reslab(regime.astype(jnp.float32), G)
+    vix_slab = _reslab(vix, G)
+    channels = slab_signal_channels(repaired_slabs, cash_slab, regime_slab,
+                                    vix_slab)
+    fw, nt, mdd = pallas_strategies_run(channels, cashflows=cashflows,
+                                        apply_costs=apply_costs,
+                                        layout="slab")
+
+    regime_high = jnp.sum(regime == 1, axis=1).astype(jnp.int32)
+    return dict(
+        final_wealth=fw, num_trades=nt, max_dd=mdd,
+        valid=valid, repaired=repaired,
+        start_offset=innov.start_offset, start_regime=innov.start_regime,
+        jump_days=jc.astype(jnp.int32),
+        liq_mean=ls / sim_days, credit_mean=cs / sim_days,
+        regime_high_days=regime_high)

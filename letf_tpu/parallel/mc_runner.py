@@ -61,6 +61,22 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
                    engine_mode: str = "institutional_v1",
                    bootstrap_pools=None, cashflows=None, anchors=None):
     """One fused chunk: paths -> signals -> strategies -> summaries."""
+    if (engine_mode == "institutional_v1" and not emit_trades
+            and jax.default_backend() == "tpu"
+            and jnp.zeros(0).dtype == jnp.float32
+            and trial_ids.shape[0] % 1024 == 0):
+        # Slab-native production path: the Pallas kernel chain with all
+        # inter-kernel tensors kept in tile layout (ops/slab_chunk.py) —
+        # no [B, S] <-> slab transpose staging between kernels.
+        from letf_tpu.ops.slab_chunk import slab_chunk_summaries
+
+        summaries = slab_chunk_summaries(
+            model, run_key, trial_ids, antithetic, sim_days=sim_days,
+            buffer_days=buffer_days,
+            random_start_method=random_start_method, anchors=anchors,
+            cashflows=cashflows, apply_costs=apply_costs,
+            moment_matching=moment_matching)
+        return summaries, None
     if engine_mode == "institutional_v1":
         # Lane-packed batched engine: state as [B] components — the
         # production formulation (see ops/path_batched.py).

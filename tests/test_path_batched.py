@@ -314,3 +314,46 @@ def test_pallas_compose_kernel_interpret():
     outs2 = run(jnp.roll(ids, 10), roll=10)
     np.testing.assert_array_equal(np.asarray(outs2[0][10 + 4]),
                                   np.asarray(outs[0][4]))
+
+
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="slab chunk composes TPU-only kernels (joint/"
+                           "compose/strategies); equality vs the [B,S] "
+                           "kernel path is exercised on hardware")
+def test_slab_chunk_matches_kernel_path():
+    """The slab-native chunk (ops/slab_chunk.py) composes the SAME kernels
+    as generate_paths_batched + compute_signals + run_strategies_batch —
+    identical draws, different tensor layout — so summaries must match up
+    to signal-cumsum reassociation ulps (borderline trade flips allowed on
+    a tiny fraction of cells)."""
+    from letf_tpu.models.params import default_sim_model
+    from letf_tpu.ops.path_batched import generate_paths_batched
+    from letf_tpu.ops.slab_chunk import slab_chunk_summaries
+    from letf_tpu.strategies.engine import run_strategies_batch
+    from letf_tpu.strategies.signals import compute_signals
+
+    model = default_sim_model()
+    B, years = 2048, 2
+    S, buf = years * 252, 504
+    ids = jnp.arange(B, dtype=jnp.int32) // 2
+    anti = (jnp.arange(B) % 2).astype(bool)
+    key = jax.random.key(11)
+
+    p = generate_paths_batched(model, key, ids, anti, sim_days=S,
+                               buffer_days=buf, random_start_method="offset")
+    r = run_strategies_batch(p, compute_signals(p), apply_costs=True)
+    sm = slab_chunk_summaries(model, key, ids, anti, sim_days=S,
+                              buffer_days=buf, random_start_method="offset")
+
+    fw, nt = np.asarray(sm["final_wealth"]), np.asarray(sm["num_trades"])
+    rw, rt = np.asarray(r.final_wealth), np.asarray(r.num_trades)
+    rel = np.abs(fw - rw) / np.maximum(np.abs(rw), 1.0)
+    assert float(np.median(rel)) < 1e-6
+    assert float((rel > 1e-3).mean()) < 0.001
+    assert float((nt != rt).mean()) < 0.002
+    np.testing.assert_array_equal(np.asarray(sm["valid"]),
+                                  np.asarray(p.valid))
+    np.testing.assert_array_equal(np.asarray(sm["jump_days"]),
+                                  np.asarray(p.jump_days))
+    np.testing.assert_allclose(np.asarray(sm["liq_mean"]),
+                               np.asarray(p.liq_mean), atol=1e-6)
