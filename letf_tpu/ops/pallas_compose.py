@@ -313,22 +313,29 @@ def pallas_compose_generate(sp, ap, base_ids, seed_words,
     (etf_slabs tuple of 6 [G, S, 8, 128], spy_adj_slab, qqq_adj_slab,
     cash_slab, jump_count [B], liq_sum [B], cred_sum [B]) — the native
     layout the slab pipeline (ops/slab_chunk.py) consumes."""
-    B, S = spy.shape
+    if layout == "slab":
+        # Inputs are already [G, S, 8, 128] slabs (regime may be f32 —
+        # the kernel's astype is then the identity).
+        G, S, _, _ = spy.shape
+        B = G * TILE
+        ins = [spy, qqq, tlt, vix, irx, regime]
+    else:
+        B, S = spy.shape
+        assert B % TILE == 0, B
+        G = B // TILE
+
+        def slab(a, dt=jnp.float32):
+            return (a.astype(dt).reshape(G, _SUB, _LANES, S)
+                    .transpose(0, 3, 1, 2))
+
+        ins = [slab(spy), slab(qqq), slab(tlt), slab(vix), slab(irx),
+               slab(regime, jnp.int8)]
     und_key = tuple(int(i) for i in cfg.asset_table().underlying)
-    assert B % TILE == 0, B
-    G = B // TILE
     while sim_days % day_block != 0:
         day_block //= 2
     NB = sim_days // day_block
 
     te_cheb = tuple(_te_chi_tables())
-
-    def slab(a, dt=jnp.float32):
-        return (a.astype(dt).reshape(G, _SUB, _LANES, S)
-                .transpose(0, 3, 1, 2))
-
-    ins = [slab(spy), slab(qqq), slab(tlt), slab(vix), slab(irx),
-           slab(regime, jnp.int8)]
     ids = base_ids.astype(jnp.int32).reshape(G, _SUB, _LANES)
 
     blk = pl.BlockSpec((1, day_block, _SUB, _LANES),

@@ -261,13 +261,19 @@ def _pack_params(model):
     return jnp.stack(rows)
 
 
-@functools.partial(jax.jit, static_argnames=("total_days", "day_block"))
+@functools.partial(jax.jit, static_argnames=("total_days", "day_block",
+                                             "layout"))
 def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
-                          seed_words, total_days: int, day_block: int = 252):
+                          seed_words, total_days: int, day_block: int = 252,
+                          layout: str = "bt"):
     """regime_full: [B, T] int; base_ids: [B] int32 (pairs share one id);
     signs: [B] f32 +-1; seed_words: [2] int32; B a multiple of 1024.
     Returns (x [B, T, 3], vix [B, T], irx [B, T]) in f32 — moment matching
-    NOT yet applied."""
+    NOT yet applied.
+
+    layout="slab" skips the output unslabs and returns
+    (x0, x1, x2, vix, irx, regime) as [G, T, 8, 128] slabs (regime int8)
+    — the slab pipeline's native layout (ops/slab_chunk.py)."""
     B, T = regime_full.shape
     assert B % TILE == 0, B
     G = B // TILE
@@ -307,6 +313,9 @@ def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
         scratch_shapes=[pltpu.VMEM((14, _SUB, _LANES), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seed_words.astype(jnp.int32), params, cheb, ids, sgn, reg)
+
+    if layout == "slab":
+        return x0, x1, x2, vix, irx, reg
 
     def unslab(a):                                   # [G,T,8,128] -> [B,T]
         return a.transpose(0, 2, 3, 1).reshape(B, T)

@@ -81,6 +81,15 @@ _PSIG = _PVIX + 1            # prev-day shift(1) rows (channel order
 _NSIG = NCH - 7              # 16 shifted channels
 NSTATE = _PSIG + _NSIG
 
+# Fused-signals mode: running window-sum rows appended to the state.
+(_S1_5, _S2_5, _S1_10, _S2_10, _S1_20, _S2_20, _S1_60, _S2_60, _S3_60,
+ _N1_20, _N2_20, _SPY1_126, _P1_100, _P1_200, _G1_14, _L1_14) = range(
+    NSTATE, NSTATE + 16)
+NSTATE_FUSED = NSTATE + 16
+# Ring capacities (powers of two > the largest lag they serve).
+_RW_X, _RW_SPY, _RW_P, _RW_S20 = 64, 128, 256, 8
+SQ252 = 15.874507866387544           # sqrt(252)
+
 
 def _f(mask):
     """bool tile -> 0/1 f32 mask (NaN compares are already False)."""
@@ -113,7 +122,7 @@ def _guard(v, eps, default):
 
 def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
                      apply_costs: bool, has_cashflows: bool,
-                     consts: dict, sub: int):
+                     consts: dict, sub: int, fused_signals: bool = False):
     """One (trial-tile, day-block) program.
 
     cf_ref: [S] f32 cashflow schedule (SMEM; zeros when has_cashflows is
@@ -121,10 +130,20 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
     refs: NCH input channel refs ([1, day_block, 8, 128] f32 each),
     then out_ref [1, 64, 8, 128] f32, then state scratch
     [NSTATE, 8, 128] f32.
+
+    fused_signals=True: only the first 7 channels (r_tqqq..vix) are
+    consumed; the 16 rolling signals are computed IN-KERNEL from ring
+    buffers + running window sums (exact add/subtract window sums;
+    pandas min_periods NaN structure via bitwise selects), and the
+    additional refs are the 4 ring scratch buffers. Eliminates the
+    15 [B, S] signal tensors and their separate XLA pass entirely.
     """
-    ch_refs = refs[:NCH]
-    out_ref = refs[NCH]
-    state = refs[NCH + 1]
+    n_ch = 7 if fused_signals else NCH
+    ch_refs = refs[:n_ch]
+    out_ref = refs[n_ch]
+    state = refs[n_ch + 1]
+    if fused_signals:
+        ring_x, ring_spy, ring_p, ring_s20 = refs[n_ch + 2:n_ch + 6]
     j = pl.program_id(1)
 
     IC = consts["initial_capital"]
@@ -155,6 +174,13 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         state[_PVIX] = nan_tile
         for i in range(_NSIG):
             state[_PSIG + i] = nan_tile
+        if fused_signals:
+            for i in range(NSTATE, NSTATE_FUSED):
+                state[i] = zeros
+            ring_x[...] = jnp.zeros((_RW_X, sub, _LANES), jnp.float32)
+            ring_spy[...] = jnp.zeros((_RW_SPY, sub, _LANES), jnp.float32)
+            ring_p[...] = jnp.zeros((_RW_P, sub, _LANES), jnp.float32)
+            ring_s20[...] = jnp.zeros((_RW_S20, sub, _LANES), jnp.float32)
 
     def body(d, _):
         t = j * day_block + d
@@ -180,6 +206,110 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         vix = ch("vix")
         vix_prev = state[_PVIX]
         pp = prev("spy_price")                   # NaN on day 0
+
+        if fused_signals:
+            # ---- in-kernel rolling signals (today's values) ----
+            nft = jnp.full_like(r_spy, nf)
+            price = (_bsel(nft, state[_PSIG], jnp.full_like(r_spy, 100.0))
+                     * (1.0 + r_spy))
+            x = r_tqqq
+            neg = jnp.minimum(x, 0.0)
+
+            def rd(ring, W, lag):
+                return ring[pl.ds((t - lag) & (W - 1), 1)][0]
+
+            def leave(lag):
+                """Scalar 0/1: the element leaving the window exists."""
+                return jnp.float32(1.0) * (t >= lag).astype(jnp.float32)
+
+            x5, x10, x20, x60 = (rd(ring_x, _RW_X, L)
+                                 for L in (5, 10, 20, 60))
+            spy126 = rd(ring_spy, _RW_SPY, 126)
+            p100 = rd(ring_p, _RW_P, 100)
+            p200 = rd(ring_p, _RW_P, 200)
+            p14 = rd(ring_p, _RW_P, 14)
+            p15 = rd(ring_p, _RW_P, 15)
+            s20l5 = rd(ring_s20, _RW_S20, 5)
+
+            def upd(row, add, sub_v, lag):
+                v = state[row] + add - leave(lag) * sub_v
+                state[row] = v
+                return v
+
+            s1_5 = upd(_S1_5, x, x5, 5)
+            s2_5 = upd(_S2_5, x * x, x5 * x5, 5)
+            s1_10 = upd(_S1_10, x, x10, 10)
+            s2_10 = upd(_S2_10, x * x, x10 * x10, 10)
+            s1_20 = upd(_S1_20, x, x20, 20)
+            s2_20 = upd(_S2_20, x * x, x20 * x20, 20)
+            s1_60 = upd(_S1_60, x, x60, 60)
+            s2_60 = upd(_S2_60, x * x, x60 * x60, 60)
+            s3_60 = upd(_S3_60, x * x * x, x60 * x60 * x60, 60)
+            ng20 = jnp.minimum(x20, 0.0)
+            n1_20 = upd(_N1_20, neg, ng20, 20)
+            n2_20 = upd(_N2_20, neg * neg, ng20 * ng20, 20)
+            spy1_126 = upd(_SPY1_126, r_spy, spy126, 126)
+            p1_100 = upd(_P1_100, price, p100, 100)
+            p1_200 = upd(_P1_200, price, p200, 200)
+            # RSI deltas: delta[0] = 0 by construction, so the element
+            # leaving at t == 14 is 0 and ring subtraction starts at 15.
+            delta = _bsel(nft, price - state[_PSIG], jnp.zeros_like(price))
+            sub_d = leave(15) * (p14 - p15)
+            g1_14 = upd(_G1_14, jnp.maximum(delta, 0.0),
+                        jnp.maximum(sub_d, 0.0), 0)
+            l1_14 = upd(_L1_14, jnp.maximum(-delta, 0.0),
+                        jnp.maximum(-sub_d, 0.0), 0)
+
+            tn = t.astype(jnp.float32) + 1.0              # scalar count
+
+            def okm(min_t):
+                """Scalar 0/1 min_periods gate: valid from day min_t on."""
+                return jnp.float32(1.0) * (t >= min_t).astype(jnp.float32)
+
+            def nn(w):
+                return jnp.minimum(tn, jnp.float32(w))
+
+            def wstd(s1, s2, w, min_t):
+                n = nn(w)
+                mean = s1 / n
+                var = (jnp.maximum(s2 - n * mean * mean, 0.0)
+                       / jnp.maximum(n - 1.0, 1.0))
+                return _bsel(jnp.full_like(s1, okm(min_t)),
+                             jnp.sqrt(var) * SQ252, nan_tile)
+
+            cur = {}
+            cur["std5"] = wstd(s1_5, s2_5, 5, 1)
+            cur["std10"] = wstd(s1_10, s2_10, 10, 1)
+            cur["std20"] = wstd(s1_20, s2_20, 20, 1)
+            cur["std60"] = wstd(s1_60, s2_60, 60, 1)
+            cur["std20_mp20"] = wstd(s1_20, s2_20, 20, 19)
+            cur["dstd20"] = wstd(n1_20, n2_20, 20, 1)
+            cur["dstd20_mp20"] = wstd(n1_20, n2_20, 20, 19)
+            n60 = nn(60)
+            mean60 = s1_60 / n60
+            cur["mean60"] = mean60 * 252.0
+            m2 = jnp.maximum(s2_60 - n60 * mean60 * mean60, 0.0)
+            m3 = (s3_60 - 3.0 * mean60 * s2_60
+                  + 2.0 * n60 * mean60 * mean60 * mean60)
+            var60 = m2 / jnp.maximum(n60 - 1.0, 1.0)
+            sd60 = jnp.sqrt(var60)
+            denom = (jnp.maximum(n60 - 1.0, 1.0)
+                     * jnp.maximum(n60 - 2.0, 1.0) * sd60 * sd60 * sd60)
+            skew_ok = okm(2) * _f(sd60 > 0.0)
+            cur["skew60"] = _bsel(
+                skew_ok, n60 * m3 / jnp.maximum(denom, 1e-37), nan_tile)
+            cur["volmom5"] = _bsel(
+                jnp.full_like(s1_5, okm(5)),
+                cur["std20"] / s20l5 - 1.0, nan_tile)
+            cur["sum126"] = spy1_126
+            cur["sma200_mp1"] = p1_200 / nn(200)
+            cur["sma200"] = _bsel(jnp.full_like(s1_5, okm(199)),
+                                  p1_200 / nn(200), nan_tile)
+            cur["sma100_mp1"] = p1_100 / nn(100)
+            rs = g1_14 / l1_14
+            cur["rsi14"] = _bsel(jnp.full_like(s1_5, okm(13)),
+                                 100.0 - 100.0 / (1.0 + rs), nan_tile)
+            cur["spy_price"] = price
 
         eq = [state[_EQ + i] for i in range(NS)]
         pa = [state[_PA + i] for i in range(NS)]
@@ -286,7 +416,9 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             return ret, tr
 
         # ---- S7 vol targeting 20% (NO cash on idle fraction) ----
-        m7, v7 = _guard(ch("std20_mp20"), 0.01, 1.0)   # unshifted read
+        std20_mp20_cur = (cur["std20_mp20"] if fused_signals
+                          else ch("std20_mp20"))       # unshifted read
+        m7, v7 = _guard(std20_mp20_cur, 0.01, 1.0)
         pos7 = _asel(m7, jnp.clip(0.20 / v7, 0.2, 2.0),
                      jnp.full_like(v7, 1.0))
         rets[6], traded[6] = vol_family(6, pos7, include_cash=False)
@@ -515,8 +647,16 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
 
         # roll the shift(1) scratch
         state[_PVIX] = vix
-        for i in range(_NSIG):
-            state[_PSIG + i] = ch_refs[7 + i][0, d]
+        if fused_signals:
+            for i, name in enumerate(CHANNELS[7:]):
+                state[_PSIG + i] = cur[name]
+            ring_x[pl.ds(t & (_RW_X - 1), 1)] = x[None]
+            ring_spy[pl.ds(t & (_RW_SPY - 1), 1)] = r_spy[None]
+            ring_p[pl.ds(t & (_RW_P - 1), 1)] = price[None]
+            ring_s20[pl.ds(t & (_RW_S20 - 1), 1)] = cur["std20"][None]
+        else:
+            for i in range(_NSIG):
+                state[_PSIG + i] = ch_refs[7 + i][0, d]
         return 0
 
     jax.lax.fori_loop(0, day_block, body, 0)
@@ -545,10 +685,12 @@ def _consts():
 
 
 @functools.partial(jax.jit, static_argnames=("apply_costs", "day_block",
-                                             "interpret", "sub", "layout"))
+                                             "interpret", "sub", "layout",
+                                             "fused_signals"))
 def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
                           day_block: int = 8, interpret: bool = False,
-                          sub: int = 0, layout: str = "bs"):
+                          sub: int = 0, layout: str = "bs",
+                          fused_signals: bool = False):
     """channels: [NCH] list/tuple of [B, S] f32 arrays in CHANNELS order —
     or, with layout="slab", already-slabbed [G, S, sub, 128] arrays (the
     slab pipeline's native layout; no transpose staging).
@@ -578,6 +720,8 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
     while S % day_block != 0:
         day_block //= 2
     NB = S // day_block
+    n_ch = 7 if fused_signals else NCH
+    assert len(ins) == n_ch, (len(ins), n_ch)
     has_cf = cashflows is not None
     cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
           else jnp.zeros((S,), jnp.float32))
@@ -588,17 +732,24 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
     kernel = functools.partial(
         _strategy_kernel, day_block=day_block, n_blocks=NB,
         apply_costs=apply_costs, has_cashflows=has_cf, consts=_consts(),
-        sub=sub)
+        sub=sub, fused_signals=fused_signals)
+
+    scratch = [pltpu.VMEM(
+        ((NSTATE_FUSED if fused_signals else NSTATE), sub, _LANES),
+        jnp.float32)]
+    if fused_signals:
+        scratch += [pltpu.VMEM((w, sub, _LANES), jnp.float32)
+                    for w in (_RW_X, _RW_SPY, _RW_P, _RW_S20)]
 
     out = pl.pallas_call(
         kernel,
         grid=(G, NB),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * NCH,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * n_ch,
         out_specs=pl.BlockSpec((1, 64, sub, _LANES),
                                lambda g, j: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 64, sub, _LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((NSTATE, sub, _LANES), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(cf, *ins)

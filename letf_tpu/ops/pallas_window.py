@@ -50,8 +50,11 @@ def _pick_day_block(sim_days: int, max_off_pad: int) -> int | None:
 
 
 def fits_vmem(T: int, sim_days: int, itemsize: int = 4) -> bool:
+    # _window_tiles pads the output length until a multiple-of-8 day
+    # block divides it, so feasibility only requires the smallest block
+    # plus the lookahead tail to fit the row budget.
     max_off_pad = -(-(T - sim_days) // 8) * 8
-    return _pick_day_block(sim_days, max_off_pad) is not None
+    return max_off_pad + 8 <= _ROW_BUDGET
 
 
 def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, *, n_levels: int,
@@ -80,48 +83,48 @@ def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, *, n_levels: int,
     out_ref[0] = pltpu.bitcast(x[:day_block], jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("sim_days", "interpret"))
-def window_offsets_pallas(packed, offs, sim_days: int,
-                          interpret: bool = False):
-    """packed: [C, T, B] f32 (B a multiple of 128); offs: [B] int32 in
-    [0, T - sim_days]. Returns [C, sim_days, B] with
-    out[c, s, b] = packed[c, s + offs[b], b].
-    """
-    C, T, B = packed.shape
-    assert B % _LANES == 0, B
-    assert packed.dtype == jnp.float32, packed.dtype   # bitwise select path
+def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
+    """Core shift-select windowing over pre-tiled planes.
+
+    slabs: [H, T, 128] f32 (trial lanes last); offs_rows: [H', 128] int32
+    with plane h using row h % H'. Returns [H, sim_days, 128]. An earlier
+    manual-DMA variant that read (T, 128) planes straight out of the
+    4D slab crashed nondeterministically on the tunneled v5e (INTERNAL
+    backend errors at several sizes) — BlockSpec pipelining over 3D
+    tiles is the robust formulation on this stack."""
+    H, T, _ = slabs.shape
     max_off = T - sim_days
     n_levels = max(1, int(max_off).bit_length())
     max_off_pad = -(-max_off // 8) * 8
-    day_block = _pick_day_block(sim_days, max_off_pad)
-    assert day_block is not None, (T, sim_days)
-    n_blocks = sim_days // day_block
+    # Day blocks must be multiples of 8 dividing the output length; when
+    # sim_days has no such divisor (e.g. 756), window a padded length
+    # instead and slice the tail off — padded rows only ever produce
+    # garbage beyond sim_days (shifts <= max_off never pull padding into
+    # valid rows).
+    S_pad = -(-sim_days // 8) * 8
+    day_block = _pick_day_block(S_pad, max_off_pad)
+    while day_block is None:
+        S_pad += 8
+        day_block = _pick_day_block(S_pad, max_off_pad)
+    n_blocks = S_pad // day_block
 
     # Pad T so the last tail slice is in bounds:
-    # n_blocks*day_block + max_off_pad = T + (max_off_pad - max_off).
-    T_pad = T + (max_off_pad - max_off)
+    # n_blocks*day_block + max_off_pad = S_pad + max_off_pad.
+    T_pad = S_pad + max_off_pad
     if T_pad != T:
-        packed = jnp.pad(packed, ((0, 0), (0, T_pad - T), (0, 0)))
+        slabs = jnp.pad(slabs, ((0, 0), (0, T_pad - T), (0, 0)))
 
-    # Full-lane slabs: [C, T_pad, B] -> [G = C*B/128, T_pad, 128] so no DMA
-    # ever slices the lane dimension.
-    tiles = B // _LANES
-    slabs = (packed.reshape(C, T_pad, tiles, _LANES)
-             .transpose(0, 2, 1, 3)
-             .reshape(C * tiles, T_pad, _LANES))
-    offs_tiles = offs.reshape(tiles, _LANES).astype(jnp.int32)
-
-    body = slabs[:, :sim_days]
-    # tails[g, j] = slabs[g, (j+1)*day_block : (j+1)*day_block+max_off_pad]
+    body = slabs[:, :S_pad]
+    # tails[h, j] = slabs[h, (j+1)*day_block : (j+1)*day_block+max_off_pad]
     tails = jnp.stack(
         [slabs[:, (j + 1) * day_block:(j + 1) * day_block + max_off_pad]
-         for j in range(n_blocks)], axis=1)   # [G, n_blocks, max_off_pad, 128]
+         for j in range(n_blocks)], axis=1)   # [H, n_blocks, max_off_pad, 128]
 
     kernel = functools.partial(_window_kernel, n_levels=n_levels,
                                day_block=day_block)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(C * tiles, n_blocks),
+        grid=(H, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # offs: full array
             pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
@@ -132,10 +135,51 @@ def window_offsets_pallas(packed, offs, sim_days: int,
         ],
         out_specs=pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C * tiles, sim_days, _LANES),
-                                       packed.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, S_pad, _LANES), slabs.dtype),
         interpret=interpret,
-    )(offs_tiles, body, tails)
+    )(offs_rows, body, tails)[:, :sim_days]
+
+
+@functools.partial(jax.jit, static_argnames=("sim_days", "interpret"))
+def window_offsets_slab(x_slab, offs, sim_days: int,
+                        interpret: bool = False):
+    """Slab-layout offset windowing: x_slab [G, T, 8, 128] f32 ->
+    [G, S, 8, 128] with out[g, s, i, j] = x[g, s + offs[b], i, j] for
+    trial b = g*1024 + i*128 + j. Bit-identical to the gather.
+
+    One (T <-> sublane) transpose on each side of the tiled kernel; the
+    lane axis stays contiguous, so both transposes run near bandwidth."""
+    G, T, _, _ = x_slab.shape
+    assert x_slab.dtype == jnp.float32, x_slab.dtype
+    if T == sim_days:
+        return x_slab
+    xt = x_slab.transpose(0, 2, 1, 3).reshape(G * 8, T, _LANES)
+    offs_rows = offs.astype(jnp.int32).reshape(G * 8, _LANES)
+    out = _window_tiles(xt, offs_rows, sim_days, interpret)
+    return (out.reshape(G, 8, sim_days, _LANES)
+            .transpose(0, 2, 1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("sim_days", "interpret"))
+def window_offsets_pallas(packed, offs, sim_days: int,
+                          interpret: bool = False):
+    """packed: [C, T, B] f32 (B a multiple of 128); offs: [B] int32 in
+    [0, T - sim_days]. Returns [C, sim_days, B] with
+    out[c, s, b] = packed[c, s + offs[b], b].
+    """
+    C, T, B = packed.shape
+    assert B % _LANES == 0, B
+    assert packed.dtype == jnp.float32, packed.dtype   # bitwise select path
+
+    # Full-lane slabs: [C, T, B] -> [H = C*B/128, T, 128] so no DMA ever
+    # slices the lane dimension.
+    tiles = B // _LANES
+    slabs = (packed.reshape(C, T, tiles, _LANES)
+             .transpose(0, 2, 1, 3)
+             .reshape(C * tiles, T, _LANES))
+    offs_tiles = offs.reshape(tiles, _LANES).astype(jnp.int32)
+
+    out = _window_tiles(slabs, offs_tiles, sim_days, interpret)
     return (out.reshape(C, tiles, sim_days, _LANES)
             .transpose(0, 2, 1, 3)
             .reshape(C, sim_days, B))

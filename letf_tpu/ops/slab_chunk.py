@@ -42,13 +42,6 @@ IDX_TMF = cfg.ASSET_INDEX["TMF"]
 IDX_SPY = cfg.ASSET_INDEX["SPY"]
 
 
-def _reslab(a, G):
-    """[B, S] -> [G, S, 8, 128] (trial tiles on the last two axes)."""
-    B, S = a.shape
-    return (a.astype(jnp.float32).reshape(G, 8, 128, S)
-            .transpose(0, 3, 1, 2))
-
-
 def _trial_flat(a):
     """[G, 8, 128] per-trial reduction output -> [B] (trial order)."""
     return a.reshape(-1)
@@ -106,6 +99,7 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     )
     from letf_tpu.ops.pallas_joint import _pack_params, pallas_joint_generate
     from letf_tpu.ops.pallas_strategies import pallas_strategies_run
+    from letf_tpu.ops.pallas_window import window_offsets_slab
 
     model = _to_device(model)
     B = trial_ids.shape[0]
@@ -123,21 +117,28 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     signs = jnp.where(antithetic, -1.0, 1.0).astype(jnp.float32)
     ids32 = trial_ids.astype(jnp.int32)
 
-    x, vix_full, irx_full = pallas_joint_generate(
+    x0, x1, x2, vix_full, irx_full, reg_full_slab = pallas_joint_generate(
         _pack_params(model), jnp.asarray(model.joint.chi_cheb, jnp.float32),
-        innov.regime_full, ids32, signs, seed_words, T)
+        innov.regime_full, ids32, signs, seed_words, T, layout="slab")
     if moment_matching:
-        theo = jnp.asarray(model.joint.theo_mean, x.dtype)
-        x = x + (theo[None, None, :]
-                 - x.mean(axis=1, keepdims=True)) * 0.1
+        theo = jnp.asarray(model.joint.theo_mean, jnp.float32)
+        x0 = x0 + (theo[0] - x0.mean(axis=1, keepdims=True)) * 0.1
+        x1 = x1 + (theo[1] - x1.mean(axis=1, keepdims=True)) * 0.1
+        x2 = x2 + (theo[2] - x2.mean(axis=1, keepdims=True)) * 0.1
 
-    spy, qqq, tlt, vix, irx, regime = pb.window_series(
-        x, vix_full, irx_full, innov.regime_full, innov.start_offset,
-        sim_days)
+    if buffer_days > 0:
+        offs = innov.start_offset
+        win = [window_offsets_slab(c, offs, sim_days)
+               for c in (x0, x1, x2, vix_full, irx_full,
+                         reg_full_slab.astype(jnp.float32))]
+        spy, qqq, tlt, vix_slab, irx_slab, regime_slab = win
+    else:
+        spy, qqq, tlt, vix_slab, irx_slab = x0, x1, x2, vix_full, irx_full
+        regime_slab = reg_full_slab.astype(jnp.float32)
 
     etf_slabs, _, _, cash_slab, jc, ls, cs = pallas_compose_generate(
         _pack_stress_params(model), _pack_asset_params(model),
-        ids32, seed_words, spy, qqq, tlt, vix, irx, regime,
+        ids32, seed_words, spy, qqq, tlt, vix_slab, irx_slab, regime_slab,
         sim_days=sim_days, layout="slab")
 
     # ---- validity + repair (twin of path_batched._finish_path) ----
@@ -148,25 +149,27 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
         fin = jnp.isfinite(e)
         finite_etf = finite_etf & jnp.all(fin, axis=1)
         repaired_slabs.append(jnp.clip(jnp.where(fin, e, 0.0), -0.999, 10.0))
-    finite_pre = (_trial_flat(finite_etf)
-                  & jnp.all(jnp.isfinite(tlt), axis=1)
-                  & jnp.all(jnp.isfinite(vix), axis=1))
-    vix_ok = (jnp.all(jnp.isfinite(vix), axis=1)
-              & (vix.min(axis=1) >= 5.0) & (vix.max(axis=1) <= 120.0))
+    finite_pre = _trial_flat(finite_etf
+                             & jnp.all(jnp.isfinite(tlt), axis=1)
+                             & jnp.all(jnp.isfinite(vix_slab), axis=1))
+    vix_ok = _trial_flat(jnp.all(jnp.isfinite(vix_slab), axis=1)
+                         & (vix_slab.min(axis=1) >= 5.0)
+                         & (vix_slab.max(axis=1) <= 120.0))
     valid_pre = finite_pre & vix_ok
     repaired = ~valid_pre
     valid = vix_ok
 
-    # ---- signals + strategies, all in slab layout ----
-    regime_slab = _reslab(regime.astype(jnp.float32), G)
-    vix_slab = _reslab(vix, G)
-    channels = slab_signal_channels(repaired_slabs, cash_slab, regime_slab,
-                                    vix_slab)
+    # ---- signals + strategies: ONE kernel (signals computed in-kernel
+    # from ring buffers; no [B, S] signal tensors materialize at all) ----
+    channels = [repaired_slabs[IDX_TQQQ], repaired_slabs[IDX_SPY],
+                repaired_slabs[IDX_SSO], repaired_slabs[IDX_TMF],
+                cash_slab, regime_slab, vix_slab]
     fw, nt, mdd = pallas_strategies_run(channels, cashflows=cashflows,
                                         apply_costs=apply_costs,
-                                        layout="slab")
+                                        layout="slab", fused_signals=True)
 
-    regime_high = jnp.sum(regime == 1, axis=1).astype(jnp.int32)
+    regime_high = _trial_flat(
+        jnp.sum(regime_slab == 1.0, axis=1).astype(jnp.int32))
     return dict(
         final_wealth=fw, num_trades=nt, max_dd=mdd,
         valid=valid, repaired=repaired,
