@@ -144,6 +144,24 @@ def bench_full_engine(platform: str):
         }
         out["full_1M_x_30y_extrapolated_seconds"] = round(
             dt30 * (1_048_576 / B30), 1)
+
+        # The real thing, not an extrapolation: 1M trials x 30y through the
+        # full institutional engine (all 19 strategies), chunked via the
+        # production driver. Includes per-chunk host fetches of the
+        # [B, 19] summaries through the tunnel.
+        from letf_tpu.parallel.mc_runner import run_monte_carlo
+
+        n_total = 1_048_576
+        t0 = time.perf_counter()
+        arr = run_monte_carlo(model, 30, num_simulations=n_total, seed=2,
+                              chunk_size=16384, progress=False)
+        dt_full = time.perf_counter() - t0
+        out["full_1M_x_30y_measured"] = {
+            "seconds": round(dt_full, 1),
+            "path_days_per_sec": round(n_total * 7560 / dt_full, 1),
+            "p50_tqqq_wealth": round(
+                float(np.median(arr.final_wealth[:, 0])), 1),
+        }
     return out
 
 
