@@ -384,3 +384,44 @@ def test_window_offsets_slab_interpret_exact():
         xb, offs[:, None] + np.arange(S)[None, :], axis=1)
     got_b = np.asarray(got).transpose(0, 2, 3, 1).reshape(B, S)
     np.testing.assert_array_equal(ref, got_b)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="slab chunk composes TPU-only kernels")
+def test_slab_chunk_overlays_match_kernel_path():
+    """Slab chunk with a DCA cashflow schedule and a historical-anchor
+    start pool must track the [B,S] kernel path the same way the plain
+    config does (same draws; signal-ulp trade flips only)."""
+    from letf_tpu.models.params import default_sim_model
+    from letf_tpu.ops.path_batched import generate_paths_batched
+    from letf_tpu.ops.slab_chunk import slab_chunk_summaries
+    from letf_tpu.strategies.engine import dca_schedule, run_strategies_batch
+    from letf_tpu.strategies.signals import compute_signals
+
+    model = default_sim_model()
+    B, S = 2048, 504
+    ids = jnp.arange(B, dtype=jnp.int32) // 2
+    anti = (jnp.arange(B) % 2).astype(bool)
+    key = jax.random.key(13)
+    cf = jnp.asarray(dca_schedule(S, 750.0), jnp.float32)
+    anchors = (jnp.asarray(np.arange(400) % 2, jnp.int32),
+               jnp.asarray(15.0 + (np.arange(400) % 20), jnp.float32))
+
+    p = generate_paths_batched(model, key, ids, anti, sim_days=S,
+                               buffer_days=0,
+                               random_start_method="historical_anchor",
+                               anchors=anchors)
+    r = run_strategies_batch(p, compute_signals(p), apply_costs=True,
+                             cashflows=cf)
+    sm = slab_chunk_summaries(model, key, ids, anti, sim_days=S,
+                              buffer_days=0,
+                              random_start_method="historical_anchor",
+                              anchors=anchors, cashflows=cf)
+    fw, rw = np.asarray(sm["final_wealth"]), np.asarray(r.final_wealth)
+    rel = np.abs(fw - rw) / np.maximum(np.abs(rw), 1.0)
+    assert float(np.median(rel)) < 1e-5
+    assert float((rel > 1e-3).mean()) < 0.01
+    np.testing.assert_array_equal(np.asarray(sm["start_regime"]),
+                                  np.asarray(p.start_regime))
+    np.testing.assert_array_equal(np.asarray(sm["valid"]),
+                                  np.asarray(p.valid))
