@@ -299,13 +299,14 @@ def _pack_asset_params(model):
 
 @functools.partial(jax.jit,
                    static_argnames=("sim_days", "day_block", "use_stress",
-                                    "use_funding", "layout"))
+                                    "use_funding", "layout", "interpret"))
 def pallas_compose_generate(sp, ap, base_ids, seed_words,
                             spy, qqq, tlt, vix, irx, regime,
                             sim_days: int, day_block: int = 64,
                             use_stress: bool = True,
                             use_funding: bool = True,
-                            layout: str = "bs"):
+                            layout: str = "bs",
+                            interpret: bool = False):
     """Windowed inputs [B, S] -> (etf_ret [B, S, A], spy_adj, qqq_adj,
     cash_ret [B, S], jump_days [B], liq_mean [B], cred_mean [B]).
 
@@ -368,6 +369,7 @@ def pallas_compose_generate(sp, ap, base_ids, seed_words,
             jax.ShapeDtypeStruct((G, 8, _SUB, _LANES), jnp.float32),),
         scratch_shapes=[pltpu.VMEM((18, _SUB, _LANES), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(seed_words.astype(jnp.int32), sp, ap, ids, *ins)
 
     summ = outs[9]

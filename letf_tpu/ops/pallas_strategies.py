@@ -86,6 +86,17 @@ NSTATE = _PSIG + _NSIG
  _N1_20, _N2_20, _SPY1_126, _P1_100, _P1_200, _G1_14, _L1_14) = range(
     NSTATE, NSTATE + 16)
 NSTATE_FUSED = NSTATE + 16
+# Fused-compose mode: stress/TE carries + summary accumulators appended
+# after the signal sums (rows match ops/pallas_compose.py's scratch).
+_C_LIQ = NSTATE_FUSED
+_C_CRED = _C_LIQ + 1
+_C_TE = _C_CRED + 1          # 6 rows: per-asset tracking-error state
+_C_BIAS = _C_TE + 6          # 6 rows: per-asset EMA de-bias state
+_C_JC = _C_BIAS + 6          # jump-day count
+_C_LS = _C_JC + 1            # liquidity sum
+_C_CS = _C_LS + 1            # credit sum
+_C_FIN = _C_CS + 1           # 1.0 while every etf return so far is finite
+NSTATE_COMPOSE = _C_FIN + 1
 # Ring capacities (powers of two > the largest lag they serve).
 _RW_X, _RW_SPY, _RW_P, _RW_S20 = 64, 128, 256, 8
 SQ252 = 15.874507866387544           # sqrt(252)
@@ -122,7 +133,9 @@ def _guard(v, eps, default):
 
 def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
                      apply_costs: bool, has_cashflows: bool,
-                     consts: dict, sub: int, fused_signals: bool = False):
+                     consts: dict, sub: int, fused_signals: bool = False,
+                     fused_compose: bool = False, te_cheb=None,
+                     und_idx=None):
     """One (trial-tile, day-block) program.
 
     cf_ref: [S] f32 cashflow schedule (SMEM; zeros when has_cashflows is
@@ -138,12 +151,21 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
     additional refs are the 4 ring scratch buffers. Eliminates the
     15 [B, S] signal tensors and their separate XLA pass entirely.
     """
-    n_ch = 7 if fused_signals else NCH
-    ch_refs = refs[:n_ch]
-    out_ref = refs[n_ch]
-    state = refs[n_ch + 1]
-    if fused_signals:
-        ring_x, ring_spy, ring_p, ring_s20 = refs[n_ch + 2:n_ch + 6]
+    if fused_compose:
+        # seed/params/ids ahead of the 6 windowed market channels
+        # (spy, qqq, tlt, vix, irx, regime).
+        seed_ref, sp_ref, ap_ref, ids_ref = refs[:4]
+        ch_refs = refs[4:10]
+        out_ref = refs[10]
+        state = refs[11]
+        ring_x, ring_spy, ring_p, ring_s20 = refs[12:16]
+    else:
+        n_ch = 7 if fused_signals else NCH
+        ch_refs = refs[:n_ch]
+        out_ref = refs[n_ch]
+        state = refs[n_ch + 1]
+        if fused_signals:
+            ring_x, ring_spy, ring_p, ring_s20 = refs[n_ch + 2:n_ch + 6]
     j = pl.program_id(1)
 
     IC = consts["initial_capital"]
@@ -174,13 +196,26 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         state[_PVIX] = nan_tile
         for i in range(_NSIG):
             state[_PSIG + i] = nan_tile
-        if fused_signals:
+        if fused_signals or fused_compose:
             for i in range(NSTATE, NSTATE_FUSED):
                 state[i] = zeros
             ring_x[...] = jnp.zeros((_RW_X, sub, _LANES), jnp.float32)
             ring_spy[...] = jnp.zeros((_RW_SPY, sub, _LANES), jnp.float32)
             ring_p[...] = jnp.zeros((_RW_P, sub, _LANES), jnp.float32)
             ring_s20[...] = jnp.zeros((_RW_S20, sub, _LANES), jnp.float32)
+        if fused_compose:
+            for i in range(NSTATE_FUSED, NSTATE_COMPOSE):
+                state[i] = zeros
+            state[_C_FIN] = zeros + 1.0
+
+    if fused_compose:
+        from letf_tpu.ops.pallas_compose import _DAY_PRIME
+        from letf_tpu.ops.pallas_joint import _GOLD, _mix
+
+        _s0 = seed_ref[0].astype(jnp.uint32)
+        _s1 = seed_ref[1].astype(jnp.uint32)
+        _ids_u = pltpu.bitcast(ids_ref[0], jnp.uint32)
+        _lane_key = _mix(_ids_u * _GOLD ^ _s0)
 
     def body(d, _):
         t = j * day_block + d
@@ -197,17 +232,147 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             the scratch rows are NaN-initialized)."""
             return state[_PSIG + _CI[name] - 7]
 
-        r_tqqq = ch("r_tqqq")
-        r_spy = ch("r_spy")
-        r_sso = ch("r_sso")
-        r_tmf = ch("r_tmf")
-        cashr = ch("cash")
-        reg = ch("regime")                       # 0/1 f32
-        vix = ch("vix")
+        if fused_compose:
+            # ---- in-kernel cost composition (ops/pallas_compose.py's day
+            # body, accumulating into LOCALS instead of etf output refs;
+            # same counter-based draw streams, so results match the
+            # standalone compose kernel) ----
+            from letf_tpu.ops.pallas_compose import (
+                _CHI5,
+                _EMA_ALPHA,
+                _TE_DFS,
+                _chi_from_poly,
+                _normals,
+                _STRESS_IDX,
+                _TE_IDX,
+                _uniforms,
+            )
+
+            spy_w = ch_refs[0][0, d]
+            qqq_w = ch_refs[1][0, d]
+            tlt_w = ch_refs[2][0, d]
+            vix = ch_refs[3][0, d]
+            irx = ch_refs[4][0, d]
+            reg = ch_refs[5][0, d]                  # 0/1 f32
+
+            def SPr(i):
+                return sp_ref[i, 0], sp_ref[i, 1]
+
+            def g2(idx):
+                a, b = SPr(idx)
+                return a + (b - a) * reg
+
+            (LIQ_MU, LIQ_PHI, LIQ_SIG, CRED_MU, CRED_PHI, CRED_SIG,
+             JP_BASE, JP_SCALE, CASH_RATE) = range(9)
+            (C_LEV, C_ER, C_BETA, C_FSPREAD, C_RHO, C_SQ, C_TE_SCALE,
+             C_DOWNSIDE, C_CLIP) = range(9)
+            (F_BASE, F_BVIX, F_BINV, F_BLIQ, F_BCRED, F_MIN,
+             F_MAX) = range(9, 16)
+
+            su = jnp.uint32(1) * t.astype(jnp.uint32)
+            day_key = _mix(_lane_key ^ (su * _DAY_PRIME) ^ _s1)
+            firstf_c = jnp.float32(1.0) * first.astype(jnp.float32)
+
+            liq = state[_C_LIQ]
+            cred = state[_C_CRED]
+            n_liq, n_cred, z_t, zc5 = _normals(day_key, _STRESS_IDX, 4)
+            u_jump, u_sign = _uniforms(day_key, _STRESS_IDX + 4, 2)
+            lmu, cmu = g2(LIQ_MU), g2(CRED_MU)
+            liq_n = jnp.clip(lmu + g2(LIQ_PHI) * (liq - lmu)
+                             + g2(LIQ_SIG) * n_liq, 0.0, 3.0)
+            cred_n = jnp.clip(cmu + g2(CRED_PHI) * (cred - cmu)
+                              + g2(CRED_SIG) * n_cred, 0.0, 3.0)
+            liq_n = lmu * firstf_c + liq_n * (1.0 - firstf_c)
+            cred_n = cmu * firstf_c + cred_n * (1.0 - firstf_c)
+            vix_amp = jnp.maximum((vix - 25.0) / 30.0, 0.0)
+            pjump = jnp.clip(g2(JP_BASE) + 0.008 * vix_amp + 0.003 * liq_n,
+                             0.0, 0.01)
+            chi5 = _chi_from_poly(zc5, _CHI5)
+            t_abs = jnp.abs(z_t * jnp.sqrt(5.0 / jnp.maximum(chi5, 1e-12)))
+            jump_on = ((u_jump < pjump).astype(jnp.float32)
+                       * (1.0 - firstf_c))
+            jump = jump_on * t_abs * g2(JP_SCALE)
+            sign = 1.0 - 2.0 * (u_sign < 0.5).astype(jnp.float32)
+            signed_jump = jump * sign
+            spy_a = jnp.clip(spy_w - signed_jump, -0.95, 3.0)
+            qqq_a = jnp.clip(qqq_w - 1.12 * signed_jump, -0.95, 4.0)
+            state[_C_JC] = state[_C_JC] + (jump > 0).astype(jnp.float32)
+            state[_C_LS] = state[_C_LS] + liq_n
+            state[_C_CS] = state[_C_CS] + cred_n
+            state[_C_LIQ] = liq_n
+            state[_C_CRED] = cred_n
+
+            risk_free = jnp.clip(irx, 0.0, 20.0) / 100.0
+            term = 1.25 - 1.1 * jnp.clip(cred_n, 0.0, 3.0)
+            inv_curve = jnp.maximum(-term, 0.0)
+            stress_v = jnp.maximum(vix - 20.0, 0.0)
+            spread = (sp_ref[F_BASE, 0] + sp_ref[F_BVIX, 0] * stress_v
+                      + sp_ref[F_BINV, 0] * inv_curve
+                      + sp_ref[F_BLIQ, 0] * jnp.clip(liq_n, 0.0, 3.0)
+                      + sp_ref[F_BCRED, 0] * jnp.clip(cred_n, 0.0, 3.0))
+            spread = jnp.clip(spread, sp_ref[F_MIN, 0], sp_ref[F_MAX, 0])
+
+            streams = (spy_a, qqq_a, tlt_w)
+            vix_mult = jnp.clip(jnp.sqrt(vix / 20.0), 0.5, 1.5)
+            regime_mult = 1.0 + 0.15 * reg
+            zs = _normals(day_key, _TE_IDX, 2 * len(und_idx))
+            etf_all = []
+            fin_day = jnp.ones_like(vix)
+            for a in range(len(und_idx)):
+                und = streams[und_idx[a]] * ap_ref[C_BETA, a]
+                lev = ap_ref[C_LEV, a]
+                borrow = (jnp.maximum(lev - 1.0, 0.0)
+                          * jnp.maximum(risk_free + spread, 0.0) / 252.0)
+                lev_ret = lev * und - ap_ref[C_ER, a] / 252.0 - borrow
+                chi_a = _chi_from_poly(zs[2 * a + 1], te_cheb[a])
+                df_a = float(_TE_DFS[a])
+                t_a = zs[2 * a] * jnp.sqrt(df_a / jnp.maximum(chi_a, 1e-12))
+                negu = (und < 0).astype(jnp.float32)
+                move = ((1.0 + 0.3 * jnp.abs(und))
+                        * (ap_ref[C_DOWNSIDE, a] * negu
+                           + 0.98 * (1.0 - negu)))
+                innov_te = (t_a * ap_ref[C_TE_SCALE, a] * vix_mult
+                            * regime_mult)
+                te_n = (ap_ref[C_RHO, a] * state[_C_TE + a]
+                        + ap_ref[C_SQ, a] * innov_te * move)
+                te_n = te_n * (1.0 - firstf_c)
+                bias_n = (_EMA_ALPHA * te_n
+                          + (1.0 - _EMA_ALPHA) * state[_C_BIAS + a])
+                cap = ap_ref[C_CLIP, a]
+                safe = jnp.maximum(cap, 1e-6)
+                raw = te_n - bias_n
+                mclip = (cap > 0).astype(jnp.float32)
+                te_out = (mclip * (safe * jnp.tanh(raw / safe))
+                          + (1.0 - mclip) * raw)
+                etf = lev_ret + te_out
+                # per-day repair (twin of _finish_path): bound and zero
+                # non-finite returns; track path-level finiteness.
+                fin_a = _f(jnp.isfinite(etf))
+                fin_day = fin_day * fin_a
+                etf = jnp.clip(_bsel(fin_a, etf, jnp.zeros_like(etf)),
+                               -0.999, 10.0)
+                etf_all.append(etf)
+                state[_C_TE + a] = te_n
+                state[_C_BIAS + a] = bias_n
+            state[_C_FIN] = state[_C_FIN] * fin_day
+
+            r_tqqq = etf_all[consts["idx_tqqq"]]
+            r_spy = etf_all[consts["idx_spy"]]
+            r_sso = etf_all[consts["idx_sso"]]
+            r_tmf = etf_all[consts["idx_tmf"]]
+            cashr = g2(CASH_RATE) / 252.0
+        else:
+            r_tqqq = ch("r_tqqq")
+            r_spy = ch("r_spy")
+            r_sso = ch("r_sso")
+            r_tmf = ch("r_tmf")
+            cashr = ch("cash")
+            reg = ch("regime")                   # 0/1 f32
+            vix = ch("vix")
         vix_prev = state[_PVIX]
         pp = prev("spy_price")                   # NaN on day 0
 
-        if fused_signals:
+        if fused_signals or fused_compose:
             # ---- in-kernel rolling signals (today's values) ----
             nft = jnp.full_like(r_spy, nf)
             price = (_bsel(nft, state[_PSIG], jnp.full_like(r_spy, 100.0))
@@ -416,7 +581,8 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             return ret, tr
 
         # ---- S7 vol targeting 20% (NO cash on idle fraction) ----
-        std20_mp20_cur = (cur["std20_mp20"] if fused_signals
+        std20_mp20_cur = (cur["std20_mp20"]
+                          if (fused_signals or fused_compose)
                           else ch("std20_mp20"))       # unshifted read
         m7, v7 = _guard(std20_mp20_cur, 0.01, 1.0)
         pos7 = _asel(m7, jnp.clip(0.20 / v7, 0.2, 2.0),
@@ -647,7 +813,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
 
         # roll the shift(1) scratch
         state[_PVIX] = vix
-        if fused_signals:
+        if fused_signals or fused_compose:
             for i, name in enumerate(CHANNELS[7:]):
                 state[_PSIG + i] = cur[name]
             ring_x[pl.ds(t & (_RW_X - 1), 1)] = x[None]
@@ -668,8 +834,17 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             out_ref[0, i] = state[_EQ + i]
             out_ref[0, NS + i] = state[_TR + i]
             out_ref[0, 2 * NS + i] = state[_DD + i]
-        for i in range(3 * NS, 64):
-            out_ref[0, i] = zeros
+        if fused_compose:
+            # rows 57-60: etf-finite flag, jump count, liq sum, cred sum
+            out_ref[0, 3 * NS] = state[_C_FIN]
+            out_ref[0, 3 * NS + 1] = state[_C_JC]
+            out_ref[0, 3 * NS + 2] = state[_C_LS]
+            out_ref[0, 3 * NS + 3] = state[_C_CS]
+            for i in range(3 * NS + 4, 64):
+                out_ref[0, i] = zeros
+        else:
+            for i in range(3 * NS, 64):
+                out_ref[0, i] = zeros
 
 
 def _consts():
@@ -681,6 +856,10 @@ def _consts():
         tqqq_lev=float(cfg.ASSETS["TQQQ"].leverage),
         s6_lev_a=float(cfg.ASSETS["TQQQ"].leverage),
         s6_lev_b=float(cfg.ASSETS["TMF"].leverage),
+        idx_tqqq=cfg.ASSET_INDEX["TQQQ"],
+        idx_spy=cfg.ASSET_INDEX["SPY"],
+        idx_sso=cfg.ASSET_INDEX["SSO"],
+        idx_tmf=cfg.ASSET_INDEX["TMF"],
     )
 
 
@@ -759,6 +938,86 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
     num_trades = flat[:, NS:2 * NS].astype(jnp.int32)
     max_dd = flat[:, 2 * NS:3 * NS]
     return final_wealth, num_trades, max_dd
+
+
+@functools.partial(jax.jit, static_argnames=("sim_days", "apply_costs",
+                                             "day_block", "interpret"))
+def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
+                                  spy, qqq, tlt, vix, irx, regime,
+                                  sim_days: int, cashflows=None,
+                                  apply_costs: bool = True,
+                                  day_block: int = 8,
+                                  interpret: bool = False):
+    """ONE kernel from windowed market slabs to strategy summaries:
+    stress + jumps + funding + leverage/TE composition
+    (ops/pallas_compose.py's math, same counter-based draw streams),
+    then in-kernel rolling signals and all 19 strategies. The six etf
+    return tensors, cash series, and 16 signals never exist in HBM.
+
+    Inputs: spy/qqq/tlt/vix/irx/regime are [G, S, 8, 128] windowed slabs
+    (regime as f32 0/1); base_ids [B] int32; seed_words [2] int32;
+    sp/ap the compose parameter tables.
+    Returns (final_wealth [B, NS], num_trades, max_dd,
+    etf_finite [B] bool, jump_days [B] int32, liq_sum [B], cred_sum [B]).
+    """
+    from letf_tpu.ops.pallas_compose import _te_chi_tables
+
+    G, S, sub, _ = spy.shape
+    B = G * sub * _LANES
+    while S % day_block != 0:
+        day_block //= 2
+    NB = S // day_block
+    has_cf = cashflows is not None
+    cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
+          else jnp.zeros((S,), jnp.float32))
+    ids = base_ids.astype(jnp.int32).reshape(G, sub, _LANES)
+    und_idx = tuple(int(i) for i in cfg.asset_table().underlying)
+    te_cheb = tuple(_te_chi_tables())
+
+    blk = pl.BlockSpec((1, day_block, sub, _LANES),
+                       lambda g, j: (g, j, 0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _strategy_kernel, day_block=day_block, n_blocks=NB,
+        apply_costs=apply_costs, has_cashflows=has_cf, consts=_consts(),
+        sub=sub, fused_signals=False, fused_compose=True,
+        te_cheb=te_cheb, und_idx=und_idx)
+
+    scratch = [pltpu.VMEM((NSTATE_COMPOSE, sub, _LANES), jnp.float32)]
+    scratch += [pltpu.VMEM((w, sub, _LANES), jnp.float32)
+                for w in (_RW_X, _RW_SPY, _RW_P, _RW_S20)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, NB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # cashflows
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # seed words
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # stress params
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # asset params
+            pl.BlockSpec((1, sub, _LANES), lambda g, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),    # base ids
+        ] + [blk] * 6,
+        out_specs=pl.BlockSpec((1, 64, sub, _LANES),
+                               lambda g, j: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 64, sub, _LANES), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(cf, seed_words.astype(jnp.int32), sp, ap, ids,
+      spy, qqq, tlt, vix, irx, regime)
+
+    flat = out.transpose(0, 2, 3, 1).reshape(B, 64)
+    final_wealth = flat[:, :NS]
+    num_trades = flat[:, NS:2 * NS].astype(jnp.int32)
+    max_dd = flat[:, 2 * NS:3 * NS]
+    etf_finite = flat[:, 3 * NS] > 0.5
+    jump_days = flat[:, 3 * NS + 1].astype(jnp.int32)
+    liq_sum = flat[:, 3 * NS + 2]
+    cred_sum = flat[:, 3 * NS + 3]
+    return (final_wealth, num_trades, max_dd, etf_finite, jump_days,
+            liq_sum, cred_sum)
 
 
 def channels_from(path, sig):

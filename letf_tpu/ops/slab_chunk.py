@@ -95,10 +95,9 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     from letf_tpu.ops.pallas_compose import (
         _pack_asset_params,
         _pack_stress_params,
-        pallas_compose_generate,
     )
     from letf_tpu.ops.pallas_joint import _pack_params, pallas_joint_generate
-    from letf_tpu.ops.pallas_strategies import pallas_strategies_run
+    from letf_tpu.ops.pallas_strategies import pallas_compose_strategies_run
     from letf_tpu.ops.pallas_window import window_offsets_slab
 
     model = _to_device(model)
@@ -136,37 +135,25 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
         spy, qqq, tlt, vix_slab, irx_slab = x0, x1, x2, vix_full, irx_full
         regime_slab = reg_full_slab.astype(jnp.float32)
 
-    etf_slabs, _, _, cash_slab, jc, ls, cs = pallas_compose_generate(
+    # ---- stress + costs + TE + signals + strategies: ONE kernel.
+    # The six etf return tensors, the cash series, and all 16 signals
+    # never exist in HBM; the per-day repair pass (bound + zero
+    # non-finite returns) and the etf-finiteness flag run in-kernel. ----
+    fw, nt, mdd, etf_finite, jc, ls, cs = pallas_compose_strategies_run(
         _pack_stress_params(model), _pack_asset_params(model),
         ids32, seed_words, spy, qqq, tlt, vix_slab, irx_slab, regime_slab,
-        sim_days=sim_days, layout="slab")
+        sim_days=sim_days, cashflows=cashflows, apply_costs=apply_costs)
 
-    # ---- validity + repair (twin of path_batched._finish_path) ----
-    finite_etf = jnp.ones((G, 8, 128), bool)
-    repaired_slabs = []
-    for a in range(len(etf_slabs)):
-        e = etf_slabs[a]
-        fin = jnp.isfinite(e)
-        finite_etf = finite_etf & jnp.all(fin, axis=1)
-        repaired_slabs.append(jnp.clip(jnp.where(fin, e, 0.0), -0.999, 10.0))
-    finite_pre = _trial_flat(finite_etf
-                             & jnp.all(jnp.isfinite(tlt), axis=1)
-                             & jnp.all(jnp.isfinite(vix_slab), axis=1))
+    # ---- validity flags (twin of path_batched._finish_path) ----
+    finite_pre = (etf_finite
+                  & _trial_flat(jnp.all(jnp.isfinite(tlt), axis=1)
+                                & jnp.all(jnp.isfinite(vix_slab), axis=1)))
     vix_ok = _trial_flat(jnp.all(jnp.isfinite(vix_slab), axis=1)
                          & (vix_slab.min(axis=1) >= 5.0)
                          & (vix_slab.max(axis=1) <= 120.0))
     valid_pre = finite_pre & vix_ok
     repaired = ~valid_pre
     valid = vix_ok
-
-    # ---- signals + strategies: ONE kernel (signals computed in-kernel
-    # from ring buffers; no [B, S] signal tensors materialize at all) ----
-    channels = [repaired_slabs[IDX_TQQQ], repaired_slabs[IDX_SPY],
-                repaired_slabs[IDX_SSO], repaired_slabs[IDX_TMF],
-                cash_slab, regime_slab, vix_slab]
-    fw, nt, mdd = pallas_strategies_run(channels, cashflows=cashflows,
-                                        apply_costs=apply_costs,
-                                        layout="slab", fused_signals=True)
 
     regime_high = _trial_flat(
         jnp.sum(regime_slab == 1.0, axis=1).astype(jnp.int32))

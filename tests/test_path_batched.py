@@ -425,3 +425,58 @@ def test_slab_chunk_overlays_match_kernel_path():
                                   np.asarray(p.start_regime))
     np.testing.assert_array_equal(np.asarray(sm["valid"]),
                                   np.asarray(p.valid))
+
+
+def test_pallas_compose_strategies_fused_interpret():
+    """The single compose+signals+strategies kernel must match the
+    two-kernel chain (compose -> fused-signals strategies) on identical
+    windowed inputs: same counter-based draws, so trades/jump/liq are
+    exact and wealth agrees to f32 fusion ulps."""
+    from letf_tpu import config as cfg
+    from letf_tpu.models.params import default_sim_model
+    from letf_tpu.ops.pallas_compose import (
+        _pack_asset_params,
+        _pack_stress_params,
+        pallas_compose_generate,
+    )
+    from letf_tpu.ops.pallas_strategies import (
+        pallas_compose_strategies_run,
+        pallas_strategies_run,
+    )
+
+    model = default_sim_model()
+    G, S = 1, 64
+    B = G * 1024
+    key = jax.random.key(3)
+    spy = 0.01 * jax.random.normal(key, (G, S, 8, 128), jnp.float32)
+    qqq = 1.1 * spy
+    tlt = -0.1 * spy
+    vix = jnp.full((G, S, 8, 128), 22.0, jnp.float32)
+    irx = jnp.full((G, S, 8, 128), 4.0, jnp.float32)
+    regime = jnp.zeros((G, S, 8, 128), jnp.float32)
+    ids = jnp.arange(B, dtype=jnp.int32) // 2
+    seed = jnp.asarray([9, 11], jnp.int32)
+    sp = _pack_stress_params(model)
+    ap = _pack_asset_params(model)
+
+    etf, _, _, cash, jc, ls, cs = pallas_compose_generate(
+        sp, ap, ids, seed, spy, qqq, tlt, vix, irx, regime,
+        sim_days=S, layout="slab", day_block=S, interpret=True)
+    idx = [cfg.ASSET_INDEX[k] for k in ("TQQQ", "SPY", "SSO", "TMF")]
+    rep = [jnp.clip(jnp.where(jnp.isfinite(e), e, 0.0), -0.999, 10.0)
+           for e in etf]
+    chs = [rep[idx[0]], rep[idx[1]], rep[idx[2]], rep[idx[3]],
+           cash, regime, vix]
+    fw0, nt0, mdd0 = pallas_strategies_run(
+        chs, apply_costs=True, layout="slab", fused_signals=True,
+        interpret=True)
+    fw1, nt1, mdd1, fin, jd, l1, c1 = pallas_compose_strategies_run(
+        sp, ap, ids, seed, spy, qqq, tlt, vix, irx, regime, sim_days=S,
+        apply_costs=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(fw1), np.asarray(fw0),
+                               rtol=1e-5, atol=0.05)
+    np.testing.assert_array_equal(np.asarray(nt1), np.asarray(nt0))
+    np.testing.assert_array_equal(np.asarray(jd),
+                                  np.asarray(jc).astype(np.int32))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(ls), atol=1e-5)
+    assert np.asarray(fin).all()
