@@ -1,24 +1,29 @@
-"""Slab-native production chunk: paths -> signals -> strategies with the
-inter-kernel tensors kept in the Pallas kernels' [G, S, 8, 128] tile
-layout end to end.
+"""Slab-native production chunk: one fused pass from model parameters to
+strategy summaries, with every inter-kernel tensor kept in the Pallas
+kernels' [G, S, 8, 128] trial-tile layout.
 
-The kernel chain (pallas_joint -> window -> pallas_compose ->
-pallas_strategies) operates on (8, 128)-trial tiles, but the general
-PathOutputs/SignalSet path stores [B, S] arrays — so every kernel
-boundary paid [B, S] <-> slab transpose staging (~35 ms just for the
-strategy kernel's 23 channels at B=16384 x 10y, more than the kernel
-itself). This module composes the same kernels with compose's outputs
-staying in slab layout, signals computed by the axis-generalized rolling
-ops directly on slabs (prefix sums along the non-minor day axis — also
-cheaper than the [B, S] layout's cross-lane cumsums), and the strategy
-kernel consuming the slabs in place. Only [B]-sized summaries and two
-small reslabs (windowed vix + regime) remain.
+The chain is three kernels plus a scan-free regime stage:
+
+  regime spells (XLA: MXU parity matmul + two-level dwell CDF search)
+  -> pallas_joint (in-kernel counter RNG, GARCH/DCC-t + VIX + IRX)
+  -> pallas_window (per-trial random-start shift-select windowing)
+  -> pallas_compose_strategies (stress + jumps + funding + leverage/TE
+     composition, per-day repair, 16 in-kernel rolling signals, all 19
+     strategies)
+
+Only [B]-sized summaries leave the device path: the innovation tensors,
+the six etf return series, the cash series, and every rolling signal
+never exist in HBM. The general [B, S] path (ops/path_batched.py +
+strategies/engine.py) had every kernel boundary paying [B, S] <-> slab
+transpose staging and a separate XLA pass per stage — at B=16384 x 10y
+that pipeline measured ~3x this one.
 
 Draws are identical to generate_paths_batched's kernel path (same
-counter-based kernels); only tensor layout differs, so results match up
-to signal-cumsum reassociation ulps. Used by parallel/mc_runner's
-_mc_chunk_body on TPU/f32 when B % 1024 == 0 and no trade emission is
-requested; every other configuration takes the general path.
+counter-based kernels); results match up to f32 fusion/signal ulps, and
+summaries (valid/repaired/jump/liq) are bitwise equal. Used by
+parallel/mc_runner's _mc_chunk_body on TPU/f32 when B % 1024 == 0 and no
+trade emission is requested; every other configuration takes the general
+path, which remains the f64 oracle-anchored reference implementation.
 """
 
 from __future__ import annotations
@@ -27,56 +32,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from letf_tpu import config as cfg
 from letf_tpu.models.params import SimModel
-from letf_tpu.ops import rolling as rl
 from letf_tpu.ops.path_engine import _to_device
-
-SQ252 = float(np.sqrt(252.0))
-
-IDX_TQQQ = cfg.ASSET_INDEX["TQQQ"]
-IDX_SSO = cfg.ASSET_INDEX["SSO"]
-IDX_TMF = cfg.ASSET_INDEX["TMF"]
-IDX_SPY = cfg.ASSET_INDEX["SPY"]
 
 
 def _trial_flat(a):
     """[G, 8, 128] per-trial reduction output -> [B] (trial order)."""
     return a.reshape(-1)
-
-
-def slab_signal_channels(etf_slabs, cash_slab, regime_slab, vix_slab):
-    """Build the strategy kernel's CHANNELS list (ops/pallas_strategies.py
-    order) from slab-layout inputs. Same formulas as
-    strategies/signals.compute_signals, with time on axis 1."""
-    ax = 1
-    r_tqqq = etf_slabs[IDX_TQQQ]
-    r_spy = etf_slabs[IDX_SPY]
-    spy_price = jnp.cumprod(1.0 + r_spy, axis=ax) * 100.0
-    neg_tqqq = jnp.where(r_tqqq < 0, r_tqqq, 0.0)
-    std20 = rl.rolling_std(r_tqqq, 20, 1, axis=ax) * SQ252
-
-    return [
-        r_tqqq, r_spy, etf_slabs[IDX_SSO], etf_slabs[IDX_TMF],
-        cash_slab, regime_slab, vix_slab, spy_price,
-        rl.rolling_std(r_tqqq, 20, axis=ax) * SQ252,        # std20_mp20
-        rl.rolling_std(neg_tqqq, 20, axis=ax) * SQ252,      # dstd20_mp20
-        rl.rolling_std(r_tqqq, 5, 1, axis=ax) * SQ252,      # std5
-        rl.rolling_std(r_tqqq, 10, 1, axis=ax) * SQ252,     # std10
-        std20,                                              # std20
-        rl.rolling_std(r_tqqq, 60, 1, axis=ax) * SQ252,     # std60
-        rl.rolling_std(neg_tqqq, 20, 1, axis=ax) * SQ252,   # dstd20
-        rl.rolling_skew(r_tqqq, 60, 1, axis=ax),            # skew60
-        rl.rolling_mean(r_tqqq, 60, 1, axis=ax) * 252.0,    # mean60_ann
-        rl.pct_change(std20, 5, axis=ax),                   # volmom5
-        rl.rolling_sum(r_spy, 126, 1, axis=ax),             # sum126
-        rl.rolling_mean(spy_price, 200, 1, axis=ax),        # sma200_mp1
-        rl.rolling_mean(spy_price, 200, axis=ax),           # sma200
-        rl.rolling_mean(spy_price, 100, 1, axis=ax),        # sma100_mp1
-        rl.rsi(spy_price, 14, axis=ax),                     # rsi14
-    ]
 
 
 @functools.partial(jax.jit, static_argnames=(
