@@ -151,10 +151,17 @@ def bench_full_engine(platform: str):
         # [B, 19] summaries through the tunnel.
         from letf_tpu.parallel.mc_runner import run_monte_carlo
 
+        # Warm the 16384 x 30y executable OUTSIDE the timed window (a cold
+        # compile gambles on the tunnel compile service — observed 1 s to
+        # 600+ s for the same program), then measure with the big chunks
+        # (fewer per-chunk dispatch round-trips than 8192).
+        B1M = 16384
+        run_monte_carlo(model, 30, num_simulations=B1M, seed=2,
+                        chunk_size=B1M, progress=False)
         n_total = 1_048_576
         t0 = time.perf_counter()
         arr = run_monte_carlo(model, 30, num_simulations=n_total, seed=2,
-                              chunk_size=16384, progress=False)
+                              chunk_size=B1M, progress=False)
         dt_full = time.perf_counter() - t0
         out["full_1M_x_30y_measured"] = {
             "seconds": round(dt_full, 1),
