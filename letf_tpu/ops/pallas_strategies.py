@@ -150,6 +150,16 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
     pandas min_periods NaN structure via bitwise selects), and the
     additional refs are the 4 ring scratch buffers. Eliminates the
     15 [B, S] signal tensors and their separate XLA pass entirely.
+
+    fused_compose=True (implies in-kernel signals): the refs are instead
+    (seed, stress-params, asset-params, ids, then the six windowed
+    market slabs spy/qqq/tlt/vix/irx/regime) and the kernel ALSO runs
+    the cost composition — stress + crisis jumps + funding spread +
+    leverage/expense/financing + tracking error with counter-based
+    in-kernel draws (ops/pallas_compose.py's math) plus the per-day
+    repair pass — so the six etf return series and the cash series
+    never exist in HBM either. Summary accumulators (etf finiteness,
+    jump count, liq/cred sums) leave via extra output rows.
     """
     if fused_compose:
         # seed/params/ids ahead of the 6 windowed market channels
