@@ -128,7 +128,7 @@ def bench_full_engine(platform: str):
     model = default_sim_model()
     out = {"strategies": 19, "random_start": "offset (5y buffer)"}
 
-    B10 = 16384 if platform != "cpu" else 256
+    B10 = 65536 if platform != "cpu" else 256
     dt10 = _time_full_chunk(model, B10, 10)
     out["b10y"] = {
         "seconds_per_batch": round(dt10, 4), "trials": B10, "years": 10,
