@@ -147,8 +147,10 @@ def bench_full_engine(platform: str):
 
         # The real thing, not an extrapolation: 1M trials x 30y through the
         # full institutional engine (all 19 strategies), chunked via the
-        # production driver. Includes per-chunk host fetches of the
-        # [B, 19] summaries through the tunnel.
+        # production driver. The timed window contains the async chunk
+        # dispatches plus ONE deferred host fetch of the concatenated
+        # summaries at the end (run_monte_carlo._gather_outs), not
+        # per-chunk fetches.
         from letf_tpu.parallel.mc_runner import run_monte_carlo
 
         # Warm the 16384 x 30y executable OUTSIDE the timed window (a cold

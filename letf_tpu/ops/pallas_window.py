@@ -96,6 +96,16 @@ def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
     max_off = T - sim_days
     n_levels = max(1, int(max_off).bit_length())
     max_off_pad = -(-max_off // 8) * 8
+    if max_off_pad + 8 > _ROW_BUDGET:
+        # The binding constraint on the working tile is the lookahead tail
+        # (max_off_pad rows), not the day block: without this check the
+        # day-block search below would loop forever growing S_pad. Only
+        # reachable with a buffer longer than ~32y (RANDOM_START_BUFFER_
+        # YEARS); fail loudly instead of hanging at trace time.
+        raise ValueError(
+            f"window offset range {max_off} days exceeds the VMEM row "
+            f"budget ({_ROW_BUDGET}); shrink the random-start buffer or "
+            f"use the XLA shift-select path")
     # Day blocks must be multiples of 8 dividing the output length; when
     # sim_days has no such divisor (e.g. 756), window a padded length
     # instead and slice the tail off — padded rows only ever produce

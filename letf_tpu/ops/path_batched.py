@@ -247,7 +247,14 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
         valm = val_p.reshape(G, Dg)
         c1 = jnp.sum((cdfm[None, None, :, -1] < u[:, :, None])
                      .astype(jnp.int32), axis=-1)    # [B, K] blocks below u
-        i_hi = jnp.minimum(c1, G - 1)
+        # Clamp to the last block containing REAL entries, not G-1: when u
+        # exceeds every real cdf value and the real entries end exactly on
+        # a block boundary, block G-1 can be all padding and the one-hot
+        # pull below would return the pad value instead of dwell_val[D-1].
+        # Unreachable with build_dwell_tables output (cdf ends at 1.0,
+        # u < 1) but restores exact min(sum(cdf<u), D-1) equivalence for
+        # any custom cdf that ends below 1.0.
+        i_hi = jnp.minimum(c1, (D - 1) // Dg)
         hi_oh = (i_hi[:, :, None]
                  == jnp.arange(G)[None, None, :])    # [B, K, G]
         blk = jnp.sum(jnp.where(hi_oh[..., None], cdfm[None, None], 0.0),

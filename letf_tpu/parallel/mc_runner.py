@@ -490,6 +490,23 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
             num_simulations=num_simulations,
             engine_mode=cfg.SIM_ENGINE_MODE, bootstrap_pools=bootstrap_pools,
             anchors=anchors)
+    # Above trade_list_limit, taxable results carry a Trade_Replay
+    # descriptor instead of a materialized Trade_List: trials replay
+    # deterministically from (seed, trial_id), so reporting can
+    # re-materialize exactly the trades it needs (the sampled-tax trials,
+    # or the full tensor path). Reporting treats a result with NEITHER as
+    # a hard error — never as zero tax.
+    replay_ctx = {
+        "model": model, "seed": seed, "num_simulations": num_simulations,
+        "use_antithetic": cfg.USE_ANTITHETIC_VARIATES,
+        "engine_mode": cfg.SIM_ENGINE_MODE,
+        "random_start_method": (cfg.RANDOM_START_METHOD
+                                if cfg.USE_RANDOM_START else "none"),
+        "buffer_days": (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
+                        if cfg.USE_RANDOM_START
+                        and cfg.RANDOM_START_METHOD == "offset" else 0),
+        "bootstrap_pools": bootstrap_pools, "anchors": anchors,
+    }
 
     results: Dict[str, List[Dict]] = {sid: [] for sid in strategy_ids}
     years = float(time_horizon)
@@ -524,7 +541,10 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
             }
             if include_regime_paths:
                 result["Regime_High_Days"] = high
-            if sid in cfg.TAXABLE_IDS and i in trade_lists:
-                result["Trade_List"] = trade_lists[i][sid]
+            if sid in cfg.TAXABLE_IDS:
+                if i in trade_lists:
+                    result["Trade_List"] = trade_lists[i][sid]
+                else:
+                    result["Trade_Replay"] = {"trial": i, "ctx": replay_ctx}
             results[sid].append(result)
     return results

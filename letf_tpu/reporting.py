@@ -151,6 +151,92 @@ def _wealth(results: List[Dict]) -> np.ndarray:
     return np.array([r["Final_Wealth"] for r in results])
 
 
+def _income_kwargs(tax_config: Dict) -> Dict:
+    return dict(
+        years_until_retirement=tax_config.get("years_until_retirement"),
+        retirement_income=tax_config.get("retirement_income"), seed=42)
+
+
+def _exact_tax_via_replay(ctx: Dict, sid: str, n: int, time_horizon: int,
+                          tax_config: Dict,
+                          chunk_size: int = 4096) -> np.ndarray:
+    """Exact per-trial tax for trials [0, n) of one strategy via
+    deterministic replay: chunks re-run with trade emission and flow
+    through the device wash-sale/FIFO bridge + vectorized netting engine
+    (the tensor path of exact_post_tax_all_trials). Used when a
+    reference-format result list carries Trade_Replay descriptors instead
+    of materialized Trade_Lists (num_simulations > trade_list_limit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from letf_tpu.income import simulate_wired_income_path
+    from letf_tpu.parallel.mc_runner import _mc_chunk, _trial_layout
+    from letf_tpu.tax.device_bridge import yearly_activity_from_emission
+    from letf_tpu.tax.vectorized import total_tax_all_trials
+
+    col = cfg.TAXABLE_IDS.index(sid)
+    sim_days = time_horizon * cfg.TRADING_DAYS
+    ids, anti = _trial_layout(ctx["num_simulations"], ctx["use_antithetic"])
+    key = jax.random.key(ctx["seed"])
+    income = jnp.asarray(simulate_wired_income_path(
+        tax_config.get("ordinary_income", 150000), time_horizon,
+        **_income_kwargs(tax_config)))
+    kw = dict(filing_status=tax_config.get("filing_status",
+                                           "single").lower(),
+              state_code=tax_config.get("state", "CA"))
+    taxes = []
+    for start in range(0, n, chunk_size):
+        sl = slice(start, min(start + chunk_size, n))
+        _, emission = _mc_chunk(
+            ctx["model"], key, jnp.asarray(ids[sl], jnp.int32),
+            jnp.asarray(anti[sl]), sim_days, ctx["buffer_days"],
+            random_start_method=ctx["random_start_method"],
+            apply_costs=True, emit_trades=True,
+            engine_mode=ctx["engine_mode"],
+            bootstrap_pools=ctx["bootstrap_pools"], anchors=ctx["anchors"])
+        tj_alloc, tj_value, tj_price, tj_asset = emission
+        activity, n_trades = yearly_activity_from_emission(
+            tj_alloc[:, :, col], tj_value[:, :, col],
+            tj_price[:, :, col], tj_asset[:, :, col],
+            n_years=time_horizon)
+        tax = total_tax_all_trials(
+            activity[..., :4], income, cfg.INITIAL_CAPITAL,
+            n_trades.astype(activity.dtype) / time_horizon, **kw)
+        taxes.append(np.asarray(tax["total_tax"]))
+    return np.concatenate(taxes)
+
+
+def _fill_missing_trades(results: List[Dict], sample, sid: str,
+                         time_horizon: int) -> None:
+    """Materialize Trade_Lists for sampled trials that carry only a
+    Trade_Replay descriptor, via one batched deterministic replay.
+    Raises if a sampled trial has neither — taxing an absent trade list
+    as zero trades would silently report post-tax == pre-tax."""
+    missing = [idx for idx in sample
+               if results[idx].get("Trade_List") is None]
+    if not missing:
+        return
+    replays = [results[idx].get("Trade_Replay") for idx in missing]
+    if any(r is None for r in replays):
+        raise ValueError(
+            f"{sid}: {len(missing)} sampled trial(s) carry neither "
+            "Trade_List nor Trade_Replay — cannot compute post-tax wealth. "
+            "Attach trades (trade_list_limit) or use run_monte_carlo + "
+            "reporting.exact_post_tax_all_trials for the tensor path.")
+    from letf_tpu.parallel.mc_runner import emit_trade_lists
+
+    ctx = replays[0]["ctx"]
+    got = emit_trade_lists(
+        ctx["model"], time_horizon, [r["trial"] for r in replays],
+        seed=ctx["seed"], use_antithetic=ctx["use_antithetic"],
+        num_simulations=ctx["num_simulations"],
+        random_start_method=ctx["random_start_method"],
+        engine_mode=ctx["engine_mode"],
+        bootstrap_pools=ctx["bootstrap_pools"], anchors=ctx["anchors"])
+    for idx, rep in zip(missing, replays):
+        results[idx]["Trade_List"] = got[rep["trial"]][sid]
+
+
 def _tax_all_trials(results: List[Dict], time_horizon: int, tax_config: Dict,
                     sid: str, exact_all: bool = False) -> np.ndarray:
     """Per-trial tax for a strategy's result list.
@@ -159,45 +245,61 @@ def _tax_all_trials(results: List[Dict], time_horizon: int, tax_config: Dict,
     trials sampled evenly across sorted wealth, monotone-interpolated for
     the rest. With ``exact_all=True``, every trial is taxed exactly via the
     vectorized (trial, year) device engine (letf_tpu.tax.vectorized) — the
-    capability the reference could not afford."""
+    capability the reference could not afford.
+
+    Results whose Trade_List was not materialized (reference-format runs
+    above trade_list_limit) must carry a Trade_Replay descriptor; the
+    needed trials are replayed deterministically. A result with neither is
+    a hard error — it is NEVER priced as zero tax."""
     wealth = _wealth(results)
     n = len(results)
 
-    if exact_all and all(r.get("Trade_List") is not None for r in results):
-        import jax.numpy as jnp
+    if exact_all:
+        if all(r.get("Trade_List") is not None for r in results):
+            import jax.numpy as jnp
 
-        from letf_tpu.income import simulate_wired_income_path
-        from letf_tpu.tax.vectorized import (
-            total_tax_all_trials,
-            yearly_activity_from_trades,
-        )
+            from letf_tpu.income import simulate_wired_income_path
+            from letf_tpu.tax.vectorized import (
+                total_tax_all_trials,
+                yearly_activity_from_trades,
+            )
 
-        elections = TaxpayerElections()
-        yearly = np.stack([
-            yearly_activity_from_trades(r["Trade_List"], time_horizon,
-                                        elections) for r in results])
-        trades_per_year = np.array(
-            [len(r["Trade_List"]) / time_horizon for r in results])
-        income_path = simulate_wired_income_path(
-            tax_config.get("ordinary_income", 150000), time_horizon,
-            years_until_retirement=tax_config.get("years_until_retirement"),
-            retirement_income=tax_config.get("retirement_income"), seed=42)
-        out = total_tax_all_trials(
-            jnp.asarray(yearly), jnp.asarray(income_path),
-            cfg.INITIAL_CAPITAL, jnp.asarray(trades_per_year),
-            filing_status=tax_config.get("filing_status", "single").lower(),
-            state_code=tax_config.get("state", "CA"))
-        return np.asarray(out["total_tax"])
+            elections = TaxpayerElections()
+            yearly = np.stack([
+                yearly_activity_from_trades(r["Trade_List"], time_horizon,
+                                            elections) for r in results])
+            trades_per_year = np.array(
+                [len(r["Trade_List"]) / time_horizon for r in results])
+            income_path = simulate_wired_income_path(
+                tax_config.get("ordinary_income", 150000), time_horizon,
+                **_income_kwargs(tax_config))
+            out = total_tax_all_trials(
+                jnp.asarray(yearly), jnp.asarray(income_path),
+                cfg.INITIAL_CAPITAL, jnp.asarray(trades_per_year),
+                filing_status=tax_config.get("filing_status",
+                                             "single").lower(),
+                state_code=tax_config.get("state", "CA"))
+            return np.asarray(out["total_tax"])
+        replay = next((r.get("Trade_Replay") for r in results
+                       if r.get("Trade_Replay") is not None), None)
+        if replay is None:
+            raise ValueError(
+                f"{sid}: exact_all tax requested but results carry neither "
+                "Trade_List nor Trade_Replay — cannot compute post-tax "
+                "wealth (refusing to price missing trades as zero tax).")
+        return _exact_tax_via_replay(replay["ctx"], sid, n, time_horizon,
+                                     tax_config)
     order = np.argsort(wealth)
     if n <= MAX_TAX_SIMS:
         sample = list(range(n))
     else:
         positions = np.linspace(0, n - 1, MAX_TAX_SIMS, dtype=int)
         sample = [int(order[p]) for p in positions]
+    _fill_missing_trades(results, sample, sid, time_horizon)
 
     sw, stx = [], []
     for idx in sample:
-        trades = results[idx].get("Trade_List", [])
+        trades = results[idx]["Trade_List"]
         if trades:
             tax = process_trades_with_wired_engine(
                 trades=trades, time_horizon_years=time_horizon,
@@ -397,9 +499,18 @@ def create_summary_statistics(mc_results: Dict[str, List[Dict]],
     # SPY post-tax cache reused for every taxable win-rate comparison.
     spy_post_tax = None
     if spy_results:
-        spy_taxes = _tax_all_trials(spy_results, horizon, tax_config, "SPY",
-                                    exact_all=exact_tax_all_trials)
-        spy_post_tax = spy_wealth - spy_taxes
+        if any(r.get("Trade_List") or r.get("Trade_Replay")
+               for r in spy_results):
+            spy_taxes = _tax_all_trials(spy_results, horizon, tax_config,
+                                        "SPY",
+                                        exact_all=exact_tax_all_trials)
+            spy_post_tax = spy_wealth - spy_taxes
+        else:
+            # Reference behavior (reporting.py:426-437): SPY results carrying
+            # no trade list compare post-tax == pre-tax by design (S2 is a
+            # benchmark id with no journal). The hard missing-trades error in
+            # _tax_all_trials applies to TAXABLE strategies only.
+            spy_post_tax = spy_wealth.copy()
 
     tax_rows = []
     for sid in cfg.TAXABLE_IDS:

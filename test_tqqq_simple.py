@@ -33,7 +33,6 @@ def main() -> None:
     cagrs = {}
     for sid, name in (("S2", "SPY"), ("S3", "SSO"), ("S1", "TQQQ")):
         w = np.array([r["Final_Wealth"] for r in mc[sid]])
-        c = np.maximum(w, 0) ** 0  # placeholder to keep shape
         c = (np.maximum(w, 1e-12) / cfg.INITIAL_CAPITAL) ** (1 / years) - 1
         cagrs[name] = c
         pcts = np.percentile(c, [10, 25, 50, 75, 90]) * 100
