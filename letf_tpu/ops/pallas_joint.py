@@ -85,7 +85,8 @@ def _six_normals(day_key):
 
 def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
                   regime_ref, x0_ref, x1_ref, x2_ref, vix_ref, irx_ref,
-                  state, *, day_block: int, n_blocks: int, n_cheb: int):
+                  state, *, day_block: int, n_blocks: int, n_cheb: int,
+                  sub: int = _SUB):
     """One (tile, day-block) program.
 
     seed_ref:   [2] int32 run-seed words (SMEM)
@@ -114,7 +115,7 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
 
     @pl.when(j == 0)
     def _():
-        state[...] = jnp.zeros((14, _SUB, _LANES), jnp.float32)
+        state[...] = jnp.zeros((14, sub, _LANES), jnp.float32)
 
     def body(d, _):
         (h0, h1, h2, q00, q01, q02, q11, q12, q22,
@@ -262,37 +263,45 @@ def _pack_params(model):
 
 
 @functools.partial(jax.jit, static_argnames=("total_days", "day_block",
-                                             "layout"))
+                                             "layout", "sub"))
 def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
                           seed_words, total_days: int, day_block: int = 252,
-                          layout: str = "bt"):
+                          layout: str = "bt", sub: int = _SUB):
     """regime_full: [B, T] int; base_ids: [B] int32 (pairs share one id);
-    signs: [B] f32 +-1; seed_words: [2] int32; B a multiple of 1024.
+    signs: [B] f32 +-1; seed_words: [2] int32; B a multiple of sub*128.
     Returns (x [B, T, 3], vix [B, T], irx [B, T]) in f32 — moment matching
     NOT yet applied.
 
     layout="slab" skips the output unslabs and returns
-    (x0, x1, x2, vix, irx, regime) as [G, T, 8, 128] slabs (regime int8)
-    — the slab pipeline's native layout (ops/slab_chunk.py)."""
+    (x0, x1, x2, vix, irx, regime) as [G, T, sub, 128] slabs (regime int8)
+    — the slab pipeline's native layout (ops/slab_chunk.py). ``sub`` is
+    the sublane height of the trial tile: the day loop is a serial chain
+    of VPU ops, so taller tiles (16/32) give each op more independent
+    sub-tiles to overlap and cut per-op latency domination (~
+    the same lever as pallas_strategies_run's ``sub``)."""
     B, T = regime_full.shape
-    assert B % TILE == 0, B
-    G = B // TILE
-    while total_days % day_block != 0:
-        day_block //= 2
+    tile = sub * _LANES
+    assert B % tile == 0, (B, sub)
+    G = B // tile
+    # Day-block VMEM scales with sub (6 streamed [day_block, sub, 128]
+    # planes, double-buffered): cap day_block so the working set stays at
+    # the sub=8/252 budget, picking the largest divisor of total_days.
+    cap = min(day_block, max(8, (252 * 8) // sub))
+    day_block = max(d for d in range(1, cap + 1) if total_days % d == 0)
     NB = total_days // day_block
     K = cheb.shape[1]
 
     reg = (regime_full.astype(jnp.int8)
-           .reshape(G, _SUB, _LANES, T).transpose(0, 3, 1, 2))  # [G,T,8,128]
-    ids = base_ids.astype(jnp.int32).reshape(G, _SUB, _LANES)
-    sgn = signs.astype(jnp.float32).reshape(G, _SUB, _LANES)
+           .reshape(G, sub, _LANES, T).transpose(0, 3, 1, 2))  # [G,T,sub,128]
+    ids = base_ids.astype(jnp.int32).reshape(G, sub, _LANES)
+    sgn = signs.astype(jnp.float32).reshape(G, sub, _LANES)
 
     kernel = functools.partial(_joint_kernel, day_block=day_block,
-                               n_blocks=NB, n_cheb=K)
-    out_spec = pl.BlockSpec((1, day_block, _SUB, _LANES),
+                               n_blocks=NB, n_cheb=K, sub=sub)
+    out_spec = pl.BlockSpec((1, day_block, sub, _LANES),
                             lambda g, j: (g, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    shp = jax.ShapeDtypeStruct((G, T, _SUB, _LANES), jnp.float32)
+    shp = jax.ShapeDtypeStruct((G, T, sub, _LANES), jnp.float32)
     x0, x1, x2, vix, irx = pl.pallas_call(
         kernel,
         grid=(G, NB),
@@ -300,17 +309,17 @@ def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
             pl.BlockSpec(memory_space=pltpu.SMEM),    # seed words
             pl.BlockSpec(memory_space=pltpu.SMEM),    # params (scalars)
             pl.BlockSpec(memory_space=pltpu.SMEM),    # cheb (scalars)
-            pl.BlockSpec((1, _SUB, _LANES), lambda g, j: (g, 0, 0),
+            pl.BlockSpec((1, sub, _LANES), lambda g, j: (g, 0, 0),
                          memory_space=pltpu.VMEM),    # base ids
-            pl.BlockSpec((1, _SUB, _LANES), lambda g, j: (g, 0, 0),
+            pl.BlockSpec((1, sub, _LANES), lambda g, j: (g, 0, 0),
                          memory_space=pltpu.VMEM),    # antithetic signs
-            pl.BlockSpec((1, day_block, _SUB, _LANES),
+            pl.BlockSpec((1, day_block, sub, _LANES),
                          lambda g, j: (g, j, 0, 0),
                          memory_space=pltpu.VMEM),    # regime
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
         out_shape=(shp, shp, shp, shp, shp),
-        scratch_shapes=[pltpu.VMEM((14, _SUB, _LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((14, sub, _LANES), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seed_words.astype(jnp.int32), params, cheb, ids, sgn, reg)
 

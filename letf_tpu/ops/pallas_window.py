@@ -153,20 +153,20 @@ def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
 @functools.partial(jax.jit, static_argnames=("sim_days", "interpret"))
 def window_offsets_slab(x_slab, offs, sim_days: int,
                         interpret: bool = False):
-    """Slab-layout offset windowing: x_slab [G, T, 8, 128] f32 ->
-    [G, S, 8, 128] with out[g, s, i, j] = x[g, s + offs[b], i, j] for
-    trial b = g*1024 + i*128 + j. Bit-identical to the gather.
+    """Slab-layout offset windowing: x_slab [G, T, sub, 128] f32 ->
+    [G, S, sub, 128] with out[g, s, i, j] = x[g, s + offs[b], i, j] for
+    trial b = g*(sub*128) + i*128 + j. Bit-identical to the gather.
 
     One (T <-> sublane) transpose on each side of the tiled kernel; the
     lane axis stays contiguous, so both transposes run near bandwidth."""
-    G, T, _, _ = x_slab.shape
+    G, T, sub, _ = x_slab.shape
     assert x_slab.dtype == jnp.float32, x_slab.dtype
     if T == sim_days:
         return x_slab
-    xt = x_slab.transpose(0, 2, 1, 3).reshape(G * 8, T, _LANES)
-    offs_rows = offs.astype(jnp.int32).reshape(G * 8, _LANES)
+    xt = x_slab.transpose(0, 2, 1, 3).reshape(G * sub, T, _LANES)
+    offs_rows = offs.astype(jnp.int32).reshape(G * sub, _LANES)
     out = _window_tiles(xt, offs_rows, sim_days, interpret)
-    return (out.reshape(G, 8, sim_days, _LANES)
+    return (out.reshape(G, sub, sim_days, _LANES)
             .transpose(0, 2, 1, 3))
 
 

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from letf_tpu.models.params import SimModel
 from letf_tpu.ops.path_engine import _to_device
 
+_LANES = 128
+
 
 def _trial_flat(a):
     """[G, 8, 128] per-trial reduction output -> [B] (trial order)."""
@@ -66,7 +68,10 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     model = _to_device(model)
     B = trial_ids.shape[0]
     assert B % 1024 == 0, B
-    G = B // 1024
+    # Sublane height of the trial tiles: tallest of 32/16/8 dividing B/128.
+    # The serial day loops are per-op latency dominated at (8, 128); taller
+    # tiles give every VPU op 2-4 independent sub-tiles to overlap.
+    sub = next(h for h in (32, 16, 8) if B % (h * _LANES) == 0)
     T = sim_days + buffer_days
 
     innov = pb.draw_innovations_fast(
@@ -81,7 +86,8 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
 
     x0, x1, x2, vix_full, irx_full, reg_full_slab = pallas_joint_generate(
         _pack_params(model), jnp.asarray(model.joint.chi_cheb, jnp.float32),
-        innov.regime_full, ids32, signs, seed_words, T, layout="slab")
+        innov.regime_full, ids32, signs, seed_words, T, layout="slab",
+        sub=sub)
     if moment_matching:
         theo = jnp.asarray(model.joint.theo_mean, jnp.float32)
         x0 = x0 + (theo[0] - x0.mean(axis=1, keepdims=True)) * 0.1

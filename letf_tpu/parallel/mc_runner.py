@@ -51,6 +51,9 @@ class MCArrays:
     sim_days: int
     trial_ids: np.ndarray       # [N]
     antithetic: np.ndarray      # [N]
+    chunk_failed: Optional[np.ndarray] = None  # [N] True where the trial's
+    # chunk failed after retries (wealth NaN) — the reference's skip-and-
+    # record containment (mc_runner.py:198-208) at chunk granularity.
 
 
 def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
@@ -149,6 +152,136 @@ def _sharded_chunk(mesh, sim_days: int, buffer_days: int,
     return jax.jit(f)
 
 
+# Error signatures that indicate a transient tunnel/backend failure or a
+# poisoned persistent compile cache (CLAUDE.md: a bad cached executable
+# replays as "INTERNAL: TPU backend error" on every rerun of one shape).
+_RETRYABLE_SIGNATURES = ("INTERNAL", "TPU backend error", "DEADLINE",
+                         "UNAVAILABLE")
+
+
+def _clear_poisoned_compile_cache() -> bool:
+    """Remove the persistent compile cache and drop live executables so the
+    retry recompiles from scratch (the documented recovery for the
+    poisoned-cache failure mode)."""
+    import os
+    import shutil
+
+    d = jax.config.jax_compilation_cache_dir
+    if not d:
+        return False
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    jax.clear_caches()
+    return True
+
+
+def _failed_chunk_summaries(n: int) -> Dict[str, np.ndarray]:
+    """Sentinel summaries for a chunk skipped after retries: NaN wealth,
+    invalid flags — the reference's worker-failure containment
+    (mc_runner.py:198-208, engine.py:606-617) at chunk granularity."""
+    ns = cfg.N_STRATEGIES
+    return dict(
+        final_wealth=np.full((n, ns), np.nan, np.float32),
+        num_trades=np.zeros((n, ns), np.int32),
+        max_dd=np.full((n, ns), np.nan, np.float32),
+        valid=np.zeros(n, bool), repaired=np.zeros(n, bool),
+        start_offset=np.zeros(n, np.int32),
+        start_regime=np.zeros(n, np.int32),
+        jump_days=np.zeros(n, np.int32),
+        liq_mean=np.full(n, np.nan, np.float32),
+        credit_mean=np.full(n, np.nan, np.float32),
+        regime_high_days=np.zeros(n, np.int32))
+
+
+def _dispatch_guarded(run, label: str, timeout: Optional[float],
+                      retries: int):
+    """Run `run()` (dispatch + host materialization) under a timeout with
+    retry-once-then-skip semantics. Returns (summaries | None, failed).
+    A retryable signature triggers a poisoned-compile-cache purge before
+    the retry. The reference wraps each worker future in a 300 s timeout
+    with traceback + skip (mc_runner.py:198-208); here the unit of
+    containment is the chunk."""
+    import concurrent.futures
+
+    attempt = 0
+    while True:
+        try:
+            if timeout is None:
+                return run(), False
+            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+                return ex.submit(run).result(timeout=timeout), False
+        except Exception as e:  # noqa: BLE001 — containment boundary
+            msg = f"{type(e).__name__}: {e}"
+            if attempt >= retries:
+                print(f"  MC {label}: FAILED after {attempt + 1} attempt(s) "
+                      f"({msg[:200]}); skipping chunk (flagged)")
+                return None, True
+            attempt += 1
+            if any(s in msg for s in _RETRYABLE_SIGNATURES):
+                cleared = _clear_poisoned_compile_cache()
+                print(f"  MC {label}: retryable failure ({msg[:120]}); "
+                      f"{'cleared compile cache, ' if cleared else ''}"
+                      f"retry {attempt}/{retries}")
+            else:
+                print(f"  MC {label}: failure ({msg[:120]}); "
+                      f"retry {attempt}/{retries}")
+
+
+@functools.lru_cache(maxsize=8)
+def _resident_superchunk(mesh, n_chunks: int, chunk_size: int, sim_days: int,
+                         buffer_days: int, random_start_method: str,
+                         apply_costs: bool, moment_matching: bool,
+                         engine_mode: str, use_antithetic: bool):
+    """``n_chunks`` trial chunks in ONE dispatch: a device-side lax.scan
+    over trial blocks, so the per-chunk host round-trips (dispatch RTT +
+    argument upload through the tunneled TPU, measured ~0.25 s/chunk on
+    the 1M x 30y run — ~45% of its wall-clock) collapse to one dispatch
+    and one deferred fetch. Trial ids are generated on device from the
+    block index; results are identical to the per-chunk path because every
+    trial replays from (seed, trial_id) regardless of batch position.
+
+    Trial-to-row layout: row = base0 + d*(n_chunks*local_B) + c*local_B + l
+    for device d, scan step c, lane l — i.e. each device owns a contiguous
+    span of trials and scans its chunks in order, so out_specs P('trials')
+    concatenation yields rows in global trial order."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    local_B = chunk_size // n_dev
+    K = n_chunks
+
+    def local(model, run_key, base0, pools, cashflows, anchors):
+        d = jax.lax.axis_index("trials") if n_dev > 1 else 0
+
+        def step(carry, c):
+            row = (base0 + d * (K * local_B) + c * local_B
+                   + jnp.arange(local_B))
+            if use_antithetic:
+                ids = (row // 2).astype(jnp.int32)
+                anti = (row % 2) == 1
+            else:
+                ids = row.astype(jnp.int32)
+                anti = jnp.zeros((local_B,), bool)
+            s, _ = _mc_chunk_body(
+                model, run_key, ids, anti, sim_days, buffer_days,
+                random_start_method=random_start_method,
+                apply_costs=apply_costs, emit_trades=False,
+                moment_matching=moment_matching, engine_mode=engine_mode,
+                bootstrap_pools=pools, cashflows=cashflows, anchors=anchors)
+            return carry, s
+
+        _, stacked = jax.lax.scan(step, 0, jnp.arange(K, dtype=jnp.int32))
+        return jax.tree.map(
+            lambda a: a.reshape((K * local_B,) + a.shape[2:]), stacked)
+
+    if n_dev > 1:
+        local = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=P("trials"), check_vma=False)
+    return jax.jit(local)
+
+
 def build_anchor_conditions(df, min_history_years: float | None = None):
     """Historical anchor pool for the 'historical_anchor' start method
     (random_start.py:60-129): valid anchor days exclude the first
@@ -196,6 +329,10 @@ def run_monte_carlo(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     max_chunks: Optional[int] = None,
+    chunks_per_dispatch: Optional[int] = None,
+    fault_tolerant: bool = False,
+    chunk_timeout: Optional[float] = 300.0,
+    chunk_retries: int = 1,
 ) -> MCArrays:
     """Run N trials of `time_horizon` years through the full engine.
 
@@ -210,6 +347,15 @@ def run_monte_carlo(
     replay deterministically from (seed, trial_id). ``max_chunks`` bounds
     this call to N chunks (returns the completed prefix of trials), which
     is also how the kill-and-resume path is exercised in tests.
+
+    Fault containment (reference: 300 s per-future timeout + skip,
+    mc_runner.py:198-208): with ``fault_tolerant=True`` each chunk is
+    dispatched AND materialized under ``chunk_timeout`` seconds with
+    ``chunk_retries`` retries; a retryable backend error purges the
+    persistent compile cache first (the poisoned-cache failure mode).
+    A chunk that still fails is skipped with NaN wealth and flagged in
+    ``MCArrays.chunk_failed``. Costs the async dispatch pipelining (one
+    blocking fetch per chunk), so it is opt-in.
     """
     if not isinstance(model, SimModel):
         model = build_sim_model(model)
@@ -294,10 +440,53 @@ def run_monte_carlo(
     outs: Dict[str, List] = {}
     n_done = 0
     chunks_run = 0
+
+    # ---- resident fast path: device-side loop over trial chunks ----
+    # Groups of `chunks_per_dispatch` chunks run as ONE dispatch (lax.scan
+    # over trial blocks, ids generated on device), eliminating the
+    # per-chunk host round-trips that dominated the 1M x 30y wall-clock.
+    # Disabled when checkpointing (chunk files need per-chunk host data) or
+    # under a max_chunks budget (its unit is the per-chunk dispatch).
+    if chunks_per_dispatch is None:
+        chunks_per_dispatch = 16 if jax.default_backend() == "tpu" else 4
+    if (checkpoint_dir is None and max_chunks is None
+            and not fault_tolerant
+            and chunks_per_dispatch > 1
+            and num_simulations // chunk_size >= 2):
+        import concurrent.futures as _cf
+
+        # Host fetches overlap device compute: each dispatch group's
+        # summaries materialize in a worker thread while the next group
+        # runs — the serial fetch tail (hundreds of MB through the
+        # tunnel) otherwise adds ~40% on the 1M x 30y run.
+        n_full = num_simulations // chunk_size
+        fetches = []
+        with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+            while n_full > 0:
+                k = min(chunks_per_dispatch, n_full)
+                fn = _resident_superchunk(
+                    mesh, k, chunk_size, sim_days, buffer_days,
+                    random_start_method, apply_costs, True, engine_mode,
+                    bool(use_antithetic))
+                summaries = fn(model, key, jnp.int32(n_done),
+                               bootstrap_pools, cashflows, anchors)
+                fetches.append((pool.submit(
+                    lambda s: {k2: np.asarray(v) for k2, v in s.items()},
+                    summaries), k * chunk_size))
+                n_done += k * chunk_size
+                n_full -= k
+                if progress and num_simulations > chunk_size:
+                    print(f"  MC progress: {n_done:,}/{num_simulations:,} "
+                          f"trials dispatched (resident x{k})")
+            for fut, n in fetches:
+                for k2, v in fut.result().items():
+                    outs.setdefault(k2, []).append((v, n))
+
     while n_done < num_simulations:
         n_here = min(chunk_size, num_simulations - n_done)
         chunk_file = (ckpt / f"chunk_{n_done:012d}_{n_done + n_here:012d}.npz"
                       if ckpt is not None else None)
+        failed = False
         if resume and chunk_file is not None and chunk_file.exists():
             saved = np.load(chunk_file)
             summaries = {k: saved[k][:n_here] for k in saved.files}
@@ -305,26 +494,47 @@ def run_monte_carlo(
         else:
             n_pad = pad_to_multiple(n_here, n_dev)
             idx = np.arange(n_done, n_done + n_pad) % num_simulations
-            if chunk_fn is not None:
-                ids_c = jax.device_put(jnp.asarray(ids[idx], jnp.int32),
-                                       sharding)
-                anti_c = jax.device_put(jnp.asarray(anti[idx]), sharding)
-                summaries = chunk_fn(model, key, ids_c, anti_c,
-                                     bootstrap_pools, cashflows, anchors)
+
+            def _run_chunk():
+                if chunk_fn is not None:
+                    ids_c = jax.device_put(jnp.asarray(ids[idx], jnp.int32),
+                                           sharding)
+                    anti_c = jax.device_put(jnp.asarray(anti[idx]), sharding)
+                    s = chunk_fn(model, key, ids_c, anti_c,
+                                 bootstrap_pools, cashflows, anchors)
+                else:
+                    ids_c = jnp.asarray(ids[idx], jnp.int32)
+                    anti_c = jnp.asarray(anti[idx])
+                    s, _ = _mc_chunk(
+                        model, key, ids_c, anti_c, sim_days, buffer_days,
+                        random_start_method=random_start_method,
+                        apply_costs=apply_costs, engine_mode=engine_mode,
+                        bootstrap_pools=bootstrap_pools, cashflows=cashflows,
+                        anchors=anchors)
+                if fault_tolerant:
+                    # Materialize inside the guard: runtime backend errors
+                    # and hangs only surface at the host fetch.
+                    return {k: np.asarray(v)[:n_here] for k, v in s.items()}
+                return s
+
+            if fault_tolerant:
+                summaries, failed = _dispatch_guarded(
+                    _run_chunk,
+                    f"chunk {n_done:,}..{n_done + n_here:,}",
+                    chunk_timeout, chunk_retries)
+                if failed:
+                    summaries = _failed_chunk_summaries(n_here)
             else:
-                ids_c = jnp.asarray(ids[idx], jnp.int32)
-                anti_c = jnp.asarray(anti[idx])
-                summaries, _ = _mc_chunk(
-                    model, key, ids_c, anti_c, sim_days, buffer_days,
-                    random_start_method=random_start_method,
-                    apply_costs=apply_costs, engine_mode=engine_mode,
-                    bootstrap_pools=bootstrap_pools, cashflows=cashflows,
-                    anchors=anchors)
-            # Keep the (possibly padded, possibly sharded) device arrays
-            # as-is: slicing a sharded trial axis eagerly would need a
-            # reshard; the host conversion below slices after fetch.
+                # Keep the (possibly padded, possibly sharded) device
+                # arrays as-is: slicing a sharded trial axis eagerly would
+                # need a reshard; the host conversion below slices after
+                # fetch.
+                summaries = _run_chunk()
             restored = False
-        if ckpt is not None and not restored:
+        if fault_tolerant:
+            outs.setdefault("chunk_failed", []).append(
+                (np.full(n_here, failed), n_here))
+        if ckpt is not None and not restored and not failed:
             from letf_tpu.utils.checkpoint import save_run_manifest
 
             summaries = {k: np.asarray(v)[:n_here]

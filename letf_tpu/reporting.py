@@ -327,7 +327,8 @@ def exact_post_tax_all_trials(model, time_horizon: int,
                               tax_config: Optional[Dict] = None,
                               strategy_ids: Optional[List[str]] = None,
                               seed: int = 0, chunk_size: int = 4096,
-                              percentiles=(10, 25, 50, 75, 90)) -> Dict:
+                              percentiles=(10, 25, 50, 75, 90),
+                              lot_method: str = "FIFO") -> Dict:
     """EXACT post-tax percentile fans for EVERY trial at any scale, fully
     on device: chunks re-run with trade emission, the vectorized wash-sale/
     FIFO bridge (tax.device_bridge) turns emission into (trial, year)
@@ -335,6 +336,11 @@ def exact_post_tax_all_trials(model, time_horizon: int,
     (tax.vectorized) taxes all trials — no per-trial host Python, no trade
     dicts, no sampling/interpolation (the reference caps exact tax at 50
     trials/strategy, reporting.py:455-509).
+
+    ``lot_method``: taxpayer lot-selection election — FIFO (default, the
+    banded-frontier fast path) or LIFO/HIFO/LOFO/LTFO/STFO/MINTAX (the
+    argsort election scan) — exact at scale either way; the reference
+    runs non-default elections only in per-trial host Python.
 
     Returns {sid: {pre_tax_pXX, post_tax_pXX, median_tax, ...}}.
     """
@@ -344,7 +350,10 @@ def exact_post_tax_all_trials(model, time_horizon: int,
     from letf_tpu.income import simulate_wired_income_path
     from letf_tpu.models.params import SimModel, build_sim_model
     from letf_tpu.parallel.mc_runner import _mc_chunk, _trial_layout
-    from letf_tpu.tax.device_bridge import yearly_activity_from_emission
+    from letf_tpu.tax.device_bridge import (
+        max_buy_events,
+        yearly_activity_from_emission,
+    )
     from letf_tpu.tax.vectorized import total_tax_all_trials
 
     if tax_config is None:
@@ -381,11 +390,20 @@ def exact_post_tax_all_trials(model, time_horizon: int,
             jnp.asarray(anti[sl]), sim_days, buffer_days,
             random_start_method=method, apply_costs=True, emit_trades=True)
         tj_alloc, tj_value, tj_price, tj_asset = emission
+        lot_cap = None
+        if lot_method != "FIFO":
+            # One capacity covering every requested strategy in this chunk
+            # (rounded up so chunks reuse the compiled election scan).
+            worst = max(max_buy_events(
+                tj_alloc[:, :, c], tj_value[:, :, c],
+                tj_price[:, :, c], tj_asset[:, :, c]) for c in cols)
+            lot_cap = max(256, -(-worst // 256) * 256)
         for sid, col in zip(strategy_ids, cols):
             activity, n_trades = yearly_activity_from_emission(
                 tj_alloc[:, :, col], tj_value[:, :, col],
                 tj_price[:, :, col], tj_asset[:, :, col],
-                n_years=time_horizon)
+                n_years=time_horizon, method=lot_method,
+                lot_capacity=lot_cap)
             tax = total_tax_all_trials(
                 activity[..., :4], income, cfg.INITIAL_CAPITAL,
                 n_trades.astype(activity.dtype) / time_horizon, **kw)

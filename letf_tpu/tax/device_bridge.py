@@ -26,8 +26,14 @@ over the WHOLE trial batch:
 
 Parity: equal to the host tracker up to the reference's 0.001-share dust
 rules (sub-cent; the host drops dust lot remnants, the frontier keeps
-them). FIFO lot selection only (the TaxpayerElections default) — other
-elections fall back to the host path.
+them).
+
+Lot elections: FIFO (the TaxpayerElections default) runs pass 3 as the
+banded cumulative frontier above; the six elected orders (LIFO/HIFO/LOFO/
+LTFO/STFO/MINTAX — reference tax/lot_selection.py:159-181) run
+_election_year_buckets: a day scan over fixed-capacity lot arrays with
+stable argsorts of the election key (SURVEY §7.2.6), parity-tested per
+election against the host tracker.
 """
 
 from __future__ import annotations
@@ -87,12 +93,35 @@ def replay_trades(tj_alloc, tj_value, tj_price, tj_asset):
     }
 
 
+def _searchsorted_rows(a, v, side="right"):
+    """Row-wise searchsorted: a [B, S] sorted per row, v [B, J]."""
+    return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr, side=side))(a, v)
+
+
+def _gather_rows(a, idx):
+    """a [B, S], idx [B, J] int -> a[b, idx[b, j]]."""
+    return jnp.take_along_axis(a, idx, axis=1)
+
+
 def _prefix_cost(take, cb_prev, q, p):
     """Cost of the first `take` shares of the pristine FIFO lot list:
-    sum_i clip(take - CB_{i-1}, 0, q_i) * p_i. take [B, J]; lots [B, S]."""
-    amt = jnp.clip(take[:, :, None] - cb_prev[:, None, :], 0.0,
-                   q[:, None, :])
-    return jnp.sum(amt * p[:, None, :], axis=-1)
+    sum_i clip(take - CB_{i-1}, 0, q_i) * p_i. take [B, J]; lots [B, S].
+
+    Closed form via the cumulative-cost curve: with k the lot containing
+    share-coordinate `take` (cb is its right boundary), the cost is the
+    full cost of lots [0, k) plus the partial (take - CB_{k-1}) * p_k.
+    O(S log S) instead of the O(S * J) pair broadcast (at 30y the pair
+    form is ~7,560x more work — VERDICT r2 weak #5)."""
+    cb = cb_prev + q
+    pc = jnp.cumsum(q * p, axis=1)                      # cost of lots [0, i]
+    pc_prev = pc - q * p
+    S = q.shape[1]
+    # Lot containing `take`: first lot with cb > take (lots with
+    # cb == take are fully consumed and covered by the pc_prev term).
+    k = jnp.minimum(_searchsorted_rows(cb, take, side="right"), S - 1)
+    part = jnp.clip(take - _gather_rows(cb_prev, k), 0.0,
+                    _gather_rows(q, k))
+    return _gather_rows(pc_prev, k) + part * _gather_rows(p, k)
 
 
 def _wash_matching_scan(loss, sell_sh, buy_q):
@@ -146,9 +175,17 @@ def _wash_matching_scan(loss, sell_sh, buy_q):
             jnp.moveaxis(has, 0, 1))
 
 
-def _asset_yearly_activity(buy_q, sell_m, price, n_years: int):
+def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
+                           method: str = "FIFO",
+                           lot_capacity: int | None = None):
     """Passes 1+2 for one asset: [B, S] buy shares / sell shares / prices
-    -> [B, Y, 5] (st_g, st_l, lt_g, lt_l, wash_disallowed)."""
+    -> [B, Y, 5] (st_g, st_l, lt_g, lt_l, wash_disallowed).
+
+    ``method``: lot-selection election. FIFO runs the O(S*L) banded
+    cumulative frontier; the six elected orders (LIFO/HIFO/LOFO/LTFO/
+    STFO/MINTAX, reference tax/lot_selection.py:159-181) run the
+    argsort-over-fixed-capacity-lot-arrays scan (_election_year_buckets),
+    which needs ``lot_capacity`` >= the max buy-event count per trial."""
     B, S = buy_q.shape
     dt = buy_q.dtype
     days = jnp.arange(S)
@@ -200,40 +237,253 @@ def _asset_yearly_activity(buy_q, sell_m, price, n_years: int):
             continue
         anybuy = anybuy | (qp[:, _WINDOW + o:_WINDOW + o + S] > _MIN_SHARES)
 
-    # Per-(sell j, lot i) consumed amount: share-interval overlap.
-    # Blocked over sell tiles to bound the broadcast working set.
+    if method == "FIFO":
+        return _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q,
+                                  basis_ps, orig, anybuy, n_years)
+    if lot_capacity is None:
+        raise ValueError(f"method={method} requires lot_capacity")
+    return _election_year_buckets(buy_q, sell_m, price, basis_ps, orig,
+                                  anybuy, n_years, method, lot_capacity)
+
+
+def _pair_buckets(cs_t, csp_t, p_t, day_t, abuy_t, cbp_b, q_b, bp_b, or_b,
+                  lot_mask):
+    """Bucketed gains for one (sell tile x lot band) pair block.
+
+    cs_t/csp_t/p_t/day_t/abuy_t: [B, Jt] sell-side arrays;
+    cbp_b/q_b/bp_b/or_b: [B, L] banded lot arrays; lot_mask [B, L].
+    Returns per-sell [B, Jt, 5] (st_g, st_l, lt_g, lt_l, wash)."""
+    cb_b = cbp_b + q_b
+    amt = (jnp.minimum(cs_t[:, :, None], cb_b[:, None, :])
+           - jnp.maximum(csp_t[:, :, None], cbp_b[:, None, :]))
+    amt = jnp.clip(amt, 0.0, None) * lot_mask[:, None, :]
+    gl = amt * (p_t[:, :, None] - bp_b[:, None, :])
+    lt = (day_t[:, :, None] - or_b[:, None, :]) > _LT_DAYS
+    wash = (gl < 0) & abuy_t[:, :, None]
+    st_g = jnp.sum(jnp.where(~wash & ~lt & (gl > 0), gl, 0.0), axis=-1)
+    st_l = jnp.sum(jnp.where(~wash & ~lt & (gl < 0), -gl, 0.0), axis=-1)
+    lt_g = jnp.sum(jnp.where(~wash & lt & (gl > 0), gl, 0.0), axis=-1)
+    lt_l = jnp.sum(jnp.where(~wash & lt & (gl < 0), -gl, 0.0), axis=-1)
+    ws = jnp.sum(jnp.where(wash, -gl, 0.0), axis=-1)
+    return jnp.stack([st_g, st_l, lt_g, lt_l, ws], axis=-1)
+
+
+def _fifo_year_buckets_dense(cs, cs_prev, price, cb, cb_prev, buy_q,
+                             basis_ps, orig, anybuy, n_years: int):
+    """Reference O(S^2) triangular pairing (the banded version's oracle in
+    tests; not on the production path)."""
+    B, S = price.shape
+    dt = price.dtype
+    days = jnp.arange(S)
     Y = n_years
     tile = _DAYS_PER_YEAR
     n_tiles = -(-S // tile)
     out = jnp.zeros((B, Y, 5), dt)
     for jt in range(n_tiles):
         j0, j1 = jt * tile, min((jt + 1) * tile, S)
-        # FIFO can only consume lots bought on or before the sell day
-        # (CB_{i-1} >= CS_j for later lots), so the lot axis truncates to
-        # [0, j1) — the pair count is triangular, not square.
-        i1 = j1
-        amt = (jnp.minimum(cs[:, j0:j1, None], cb[:, None, :i1])
-               - jnp.maximum(cs_prev[:, j0:j1, None], cb_prev[:, None, :i1]))
-        amt = jnp.clip(amt, 0.0, None)                       # [B, Jt, i1]
-        gl = amt * (price[:, j0:j1, None] - basis_ps[:, None, :i1])
-        lt = (days[None, j0:j1, None] - orig[:, None, :i1]) > _LT_DAYS
-        wash = (gl < 0) & anybuy[:, j0:j1, None]
-        st_g = jnp.sum(jnp.where(~wash & ~lt & (gl > 0), gl, 0.0), axis=-1)
-        st_l = jnp.sum(jnp.where(~wash & ~lt & (gl < 0), -gl, 0.0), axis=-1)
-        lt_g = jnp.sum(jnp.where(~wash & lt & (gl > 0), gl, 0.0), axis=-1)
-        lt_l = jnp.sum(jnp.where(~wash & lt & (gl < 0), -gl, 0.0), axis=-1)
-        ws = jnp.sum(jnp.where(wash, -gl, 0.0), axis=-1)
-        per_sell = jnp.stack([st_g, st_l, lt_g, lt_l, ws], axis=-1)
-        # Aggregate this tile's sells into tax years.
+        per_sell = _pair_buckets(
+            cs[:, j0:j1], cs_prev[:, j0:j1], price[:, j0:j1],
+            jnp.broadcast_to(days[None, j0:j1], cs[:, j0:j1].shape),
+            anybuy[:, j0:j1], cb_prev[:, :j1], buy_q[:, :j1],
+            basis_ps[:, :j1], orig[:, :j1],
+            jnp.ones((B, j1), dt))
         yr = (days[j0:j1] // _DAYS_PER_YEAR)
         onehot = (yr[:, None] == jnp.arange(Y)[None, :]).astype(dt)
         out = out + jnp.einsum("bjk,jy->byk", per_sell, onehot)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_years",))
+def _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q, basis_ps,
+                       orig, anybuy, n_years: int, band: int = 768):
+    """Per-year bucketed FIFO gains via the BANDED frontier.
+
+    The (sell, lot) overlap staircase is monotone — a sell-tile's pairs
+    live in lot band [P0, j1) where P0 = #lots fully consumed before the
+    tile. The dense triangular pairing this replaces was O(S^2) per trial
+    (~28.6M pairs at 30y — the reason exact tax ran ~100x slower than the
+    wealth run, VERDICT r2 weak #5); the band is O(S * L) with L = `band`
+    lots, PLUS a while-loop over further L-lot levels so a sell that
+    consumes more than L outstanding lots (full liquidation after a long
+    accumulation) is still EXACT — levels run only while some lane needs
+    them."""
+    B, S = price.shape
+    dt = price.dtype
+    days = jnp.arange(S)
+    Y = n_years
+    tile = _DAYS_PER_YEAR
+    n_tiles = -(-S // tile)
+    L = min(band, S)
+    max_levels = -(-S // L)
+
+    out = jnp.zeros((B, Y, 5), dt)
+    for jt in range(n_tiles):
+        j0, j1 = jt * tile, min((jt + 1) * tile, S)
+        cs_t, csp_t = cs[:, j0:j1], cs_prev[:, j0:j1]
+        p_t = price[:, j0:j1]
+        day_t = jnp.broadcast_to(days[None, j0:j1], cs_t.shape)
+        abuy_t = anybuy[:, j0:j1]
+        # Lots fully consumed before this tile's first sell: cb <= csp.
+        P0 = _searchsorted_rows(cb, csp_t[:, :1], side="right")[:, 0]  # [B]
+
+        def level_block(lvl):
+            I = P0[:, None] + lvl * L + jnp.arange(L)[None, :]   # [B, L]
+            lot_mask = (I < j1).astype(dt)   # FIFO: no lots past the tile
+            Ic = jnp.minimum(I, S - 1)
+            return _pair_buckets(
+                cs_t, csp_t, p_t, day_t, abuy_t,
+                _gather_rows(cb_prev, Ic), _gather_rows(buy_q, Ic),
+                _gather_rows(basis_ps, Ic), _gather_rows(orig, Ic),
+                lot_mask)
+
+        def more_needed(lvl):
+            # A sell extends past the band iff its frontier exceeds the
+            # band-end lot's cumulative bought shares (and lots remain).
+            end = P0 + (lvl + 1) * L - 1                         # [B]
+            has_more = end + 1 < j1
+            cb_end = _gather_rows(cb, jnp.minimum(end, S - 1)[:, None])
+            return jnp.any(has_more[:, None]
+                           & (cs_t[:, -1:] > cb_end))
+
+        def cond(carry):
+            lvl, _, need = carry
+            return need & (lvl < max_levels)
+
+        def body(carry):
+            lvl, acc, _ = carry
+            acc = acc + level_block(lvl)
+            return lvl + 1, acc, more_needed(lvl)
+
+        _, per_sell, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(1), level_block(0), more_needed(0)))
+
+        yr = (days[j0:j1] // _DAYS_PER_YEAR)
+        onehot = (yr[:, None] == jnp.arange(Y)[None, :]).astype(dt)
+        out = out + jnp.einsum("bjk,jy->byk", per_sell, onehot)
+    return out
+
+
+ELECTION_METHODS = ("FIFO", "LIFO", "HIFO", "LOFO", "LTFO", "STFO",
+                    "MINTAX")
+_MINTAX_ST_RATE = 0.37     # reference lot_selection.py:126-127 defaults
+_MINTAX_LT_RATE = 0.20
+
+
+def _election_key(method: str, slot_t, slot_basis, slot_orig, t, price_t,
+                  S: int):
+    """Per-lot ascending sort key reproducing the reference's elected
+    consumption order (tax/lot_selection.py:5-181). Ties resolve to the
+    positions-list (buy) order via stable argsort — the same tie-break a
+    stable Python sort over the enumerated list produces."""
+    f = slot_t.dtype if slot_t.dtype in (jnp.float32, jnp.float64) \
+        else price_t.dtype
+    BIG = jnp.asarray(4 * S, f)
+    tf = slot_t.astype(f)
+    if method == "LIFO":
+        return -tf
+    if method == "HIFO":
+        return -slot_basis
+    if method == "LOFO":
+        return slot_basis
+    is_lt = ((t - slot_orig) > _LT_DAYS)
+    if method == "LTFO":
+        # LT lots first, each group by holding desc == original day asc.
+        return jnp.where(is_lt, 0.0, BIG) + slot_orig.astype(f)
+    if method == "STFO":
+        # ST lots first, each group by holding asc == original day desc.
+        return jnp.where(is_lt, BIG, 0.0) + (S - slot_orig.astype(f))
+    if method == "MINTAX":
+        gain_ps = price_t[:, None] - slot_basis
+        rate = jnp.where(gain_ps >= 0,
+                         jnp.where(is_lt, _MINTAX_LT_RATE, _MINTAX_ST_RATE),
+                         _MINTAX_ST_RATE)
+        return gain_ps * rate
+    return tf                                             # FIFO
+
+
+def _election_year_buckets(buy_q, sell_m, price, basis_ps, orig, anybuy,
+                           n_years: int, method: str, L: int):
+    """Elected-order lot consumption: a day scan over fixed-capacity lot
+    arrays (SURVEY §7.2.6 'argsort-based selection over fixed-size lot
+    arrays with occupancy masks').
+
+    Lot slot k = k-th buy event of the trial (so slot order == the host
+    tracker's positions-list order, which survives its dust compaction).
+    Each day: mask lots to (bought before today, > dust), stable-argsort
+    the election key, consume greedily along the sorted order via a
+    cumulative clip, un-permute, and bucket gains by term/sign/wash.
+    No scatters inside the scan body (argsort + gathers only); per-day
+    buckets stack as scan outputs and year-aggregate afterwards.
+
+    O(S * L log L) per trial — heavier than the FIFO frontier, used only
+    for explicit non-default elections (the reference can't run these at
+    scale at all: its elections live in per-trial host Python)."""
+    B, S = price.shape
+    dt = price.dtype
+
+    has = buy_q > _MIN_SHARES
+    ordv = jnp.cumsum(has.astype(jnp.int32), axis=1) - 1       # [B, S]
+    o = jnp.where(has, ordv, L)                  # invalid -> dropped
+    bidx = jnp.arange(B)[:, None]
+    day_grid = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+
+    def scat(val, fill):
+        base = jnp.full((B, L), fill, val.dtype)
+        return base.at[bidx, o].set(val, mode="drop")
+
+    slot_t = scat(day_grid, S)                   # buy day (S = unused)
+    slot_q0 = scat(buy_q, 0.0)
+    slot_basis = scat(basis_ps, 0.0)
+    slot_orig = scat(orig.astype(jnp.int32), S)
+
+    def step(rem, x):
+        t, sell_t, price_t, any_t = x
+        started = slot_t < t                     # one trade/day/asset, so
+        live = started & (rem > _MIN_SHARES)     # today's buy not sellable
+        key = _election_key(method, slot_t, slot_basis, slot_orig, t,
+                            price_t, S)
+        key = jnp.where(live, key.astype(dt), jnp.inf)
+        order = jnp.argsort(key, axis=1, stable=True)
+        rem_s = jnp.take_along_axis(rem * live, order, axis=1)
+        cum = jnp.cumsum(rem_s, axis=1)
+        cons_s = jnp.clip(sell_t[:, None] - (cum - rem_s), 0.0, rem_s)
+        inv = jnp.argsort(order, axis=1)
+        consumed = jnp.take_along_axis(cons_s, inv, axis=1)    # [B, L]
+        gl = consumed * (price_t[:, None] - slot_basis)
+        lt = (t - slot_orig) > _LT_DAYS
+        wash = (gl < 0) & any_t[:, None]
+        act = consumed > 0
+        buckets = jnp.stack([
+            jnp.sum(jnp.where(act & ~wash & ~lt & (gl > 0), gl, 0.0), -1),
+            jnp.sum(jnp.where(act & ~wash & ~lt & (gl < 0), -gl, 0.0), -1),
+            jnp.sum(jnp.where(act & ~wash & lt & (gl > 0), gl, 0.0), -1),
+            jnp.sum(jnp.where(act & ~wash & lt & (gl < 0), -gl, 0.0), -1),
+            jnp.sum(jnp.where(act & wash, -gl, 0.0), -1),
+        ], axis=-1)                                            # [B, 5]
+        return rem - consumed, buckets
+
+    xs = (jnp.arange(S, dtype=jnp.int32), jnp.moveaxis(sell_m, 1, 0),
+          jnp.moveaxis(price, 1, 0), jnp.moveaxis(anybuy, 1, 0))
+    _, per_day = jax.lax.scan(step, slot_q0, xs)               # [S, B, 5]
+
+    yr = jnp.arange(S) // _DAYS_PER_YEAR
+    onehot = (yr[:, None] == jnp.arange(n_years)[None, :]).astype(dt)
+    return jnp.einsum("sbk,sy->byk", per_day, onehot)
+
+
+def max_buy_events(tj_alloc, tj_value, tj_price, tj_asset) -> int:
+    """Max per-(trial, asset) buy-event count of an emission — the minimum
+    safe ``lot_capacity`` for the elected device pass (host sync)."""
+    tr = jax.jit(replay_trades)(tj_alloc, tj_value, tj_price, tj_asset)
+    n = jnp.max(jnp.sum(tr["buy_sh"] > _MIN_SHARES, axis=1))
+    return int(n)
+
+
+@functools.partial(jax.jit, static_argnames=("n_years", "method",
+                                             "lot_capacity"))
 def yearly_activity_from_emission(tj_alloc, tj_value, tj_price, tj_asset,
-                                  n_years: int):
+                                  n_years: int, method: str = "FIFO",
+                                  lot_capacity: int | None = None):
     """Emission tensors for ONE strategy column ([S, B] slices) ->
     [B, Y, 5] yearly (st_gains, st_losses, lt_gains, lt_losses,
     wash_sale_disallowed), plus trade counts [B].
@@ -245,7 +495,8 @@ def yearly_activity_from_emission(tj_alloc, tj_value, tj_price, tj_asset,
     for k in range(len(_BRIDGE_ASSETS)):
         act = _asset_yearly_activity(tr["buy_sh"][..., k],
                                      tr["sell_sh"][..., k],
-                                     tr["price"], n_years)
+                                     tr["price"], n_years, method=method,
+                                     lot_capacity=lot_capacity)
         out = act if out is None else out + act
     n_trades = jnp.sum((tr["buy_sh"] > 0) | (tr["sell_sh"] > 0),
                        axis=(1, 2)).astype(jnp.int32)

