@@ -325,18 +325,29 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             streams = (spy_a, qqq_a, tlt_w)
             vix_mult = jnp.clip(jnp.sqrt(vix / 20.0), 0.5, 1.5)
             regime_mult = 1.0 + 0.15 * reg
-            zs = _normals(day_key, _TE_IDX, 2 * len(und_idx))
-            etf_all = []
+            # Only the four assets the strategies actually consume (TQQQ,
+            # SPY, SSO, TMF) get their TE chains computed — UPRO and QQQ
+            # never feed a strategy channel. Each asset's draws keep
+            # their ABSOLUTE stream indices (_TE_IDX + 2a), so computed
+            # assets' bits are identical to the all-six kernel; ~1/3 of
+            # the per-day Box-Muller + chi-Chebyshev work disappears.
+            # (The etf-finite summary accordingly covers these four; the
+            # skipped assets' returns are clips of the same finite
+            # inputs, so path validity is unchanged in practice.)
+            needed = sorted({consts["idx_tqqq"], consts["idx_spy"],
+                             consts["idx_sso"], consts["idx_tmf"]})
+            etf_all = {}
             fin_day = jnp.ones_like(vix)
-            for a in range(len(und_idx)):
+            for a in needed:
                 und = streams[und_idx[a]] * ap_ref[C_BETA, a]
                 lev = ap_ref[C_LEV, a]
                 borrow = (jnp.maximum(lev - 1.0, 0.0)
                           * jnp.maximum(risk_free + spread, 0.0) / 252.0)
                 lev_ret = lev * und - ap_ref[C_ER, a] / 252.0 - borrow
-                chi_a = _chi_from_poly(zs[2 * a + 1], te_cheb[a])
+                z_a, z_chi = _normals(day_key, _TE_IDX + 2 * a, 2)
+                chi_a = _chi_from_poly(z_chi, te_cheb[a])
                 df_a = float(_TE_DFS[a])
-                t_a = zs[2 * a] * jnp.sqrt(df_a / jnp.maximum(chi_a, 1e-12))
+                t_a = z_a * jnp.sqrt(df_a / jnp.maximum(chi_a, 1e-12))
                 negu = (und < 0).astype(jnp.float32)
                 move = ((1.0 + 0.3 * jnp.abs(und))
                         * (ap_ref[C_DOWNSIDE, a] * negu
@@ -361,7 +372,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
                 fin_day = fin_day * fin_a
                 etf = jnp.clip(_bsel(fin_a, etf, jnp.zeros_like(etf)),
                                -0.999, 10.0)
-                etf_all.append(etf)
+                etf_all[a] = etf
                 state[_C_TE + a] = te_n
                 state[_C_BIAS + a] = bias_n
             state[_C_FIN] = state[_C_FIN] * fin_day

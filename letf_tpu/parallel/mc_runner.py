@@ -337,7 +337,12 @@ def run_monte_carlo(
     """Run N trials of `time_horizon` years through the full engine.
 
     Chunked over trials to bound HBM; each chunk's trial axis is sharded
-    over the mesh. Returns host-side summary arrays.
+    over the mesh. Returns host-side summary arrays. Full chunks run
+    through the RESIDENT fast path — ``chunks_per_dispatch`` chunks per
+    device dispatch (a lax.scan over trial blocks with ids generated on
+    device) with host fetches overlapped against compute. For report-only
+    consumers prefer ``monte_carlo_report``, which reduces the percentile
+    report ON DEVICE and never fetches the [N, 19] per-trial tensors.
 
     Checkpoint/resume (the reference's MC runs are all-or-nothing,
     SURVEY.md §5): with ``checkpoint_dir`` set, every completed chunk's
@@ -643,6 +648,179 @@ def emit_trade_lists(model: SimModel | Dict, time_horizon: int,
     return out
 
 
+def monte_carlo_report(
+    model: SimModel | Dict | None,
+    time_horizon: int,
+    num_simulations: Optional[int] = None,
+    seed: int = 0,
+    chunk_size: Optional[int] = None,
+    chunks_per_dispatch: Optional[int] = None,
+    use_antithetic: Optional[bool] = None,
+    random_start_method: Optional[str] = None,
+    apply_costs: bool = True,
+    engine_mode: Optional[str] = None,
+    cashflows=None,
+    anchors=None,
+    percentiles=(10, 25, 40, 50, 60, 75, 90),
+) -> Dict:
+    """The production report path: N trials through the resident driver
+    with the FULL percentile report reduced ON DEVICE — only the report
+    (a few hundred floats) crosses to the host.
+
+    This is the north-star deliverable ("1M x 30y with full percentile
+    report"): per-strategy wealth/CAGR/max-drawdown fans, win rates vs the
+    SPY benchmark, trade stats, and validity counts. run_monte_carlo's
+    MCArrays remain the raw-array API; fetching its [N, 19] tensors
+    through the tunneled dev TPU costs ~15 s/1M trials at the observed
+    ~18 MB/s (a tunnel artifact — a production host fetches at GB/s), so
+    the report path never materializes them."""
+    if not isinstance(model, SimModel):
+        model = build_sim_model(model)
+    if num_simulations is None:
+        num_simulations = cfg.NUM_SIMULATIONS
+    if use_antithetic is None:
+        use_antithetic = cfg.USE_ANTITHETIC_VARIATES
+    if random_start_method is None:
+        random_start_method = (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
+                               else "none")
+    if engine_mode is None:
+        engine_mode = cfg.SIM_ENGINE_MODE
+    sim_days = int(time_horizon * cfg.TRADING_DAYS)
+    buffer_days = (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
+                   if random_start_method == "offset" else 0)
+    mesh = trial_mesh()
+    n_dev = mesh.devices.size
+    if chunk_size is None:
+        chunk_size = min(cfg.DEVICE_CHUNK_TRIALS,
+                         pad_to_multiple(num_simulations, n_dev))
+    chunk_size = pad_to_multiple(chunk_size, n_dev)
+    if chunks_per_dispatch is None:
+        chunks_per_dispatch = 16 if jax.default_backend() == "tpu" else 4
+
+    model = jax.tree.map(jnp.asarray, model)
+    if cashflows is not None:
+        cashflows = jnp.asarray(cashflows)
+    if anchors is not None:
+        anchors = jax.tree.map(jnp.asarray, anchors)
+    key = jax.random.key(seed)
+
+    # Pad N up to whole chunks: replaying extra trials changes percentile
+    # estimates by O(pad/N) — instead run whole chunks and slice the trial
+    # axis inside the device reduction.
+    n_pad = pad_to_multiple(num_simulations, chunk_size)
+    groups = []
+    n_done = 0
+    n_full = n_pad // chunk_size
+    while n_full > 0:
+        k = min(chunks_per_dispatch, n_full)
+        fn = _resident_superchunk(
+            mesh, k, chunk_size, sim_days, buffer_days,
+            random_start_method, apply_costs, True, engine_mode,
+            bool(use_antithetic))
+        groups.append(fn(model, key, jnp.int32(n_done), None, cashflows,
+                         anchors))
+        n_done += k * chunk_size
+        n_full -= k
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+
+    def cat(key2):
+        # Gather the trial-sharded pieces to a replicated layout (eager
+        # device_put — the quantile gathers below have no unambiguous
+        # sharding over a split trial axis, and at [N, 19] the all-gather
+        # is tiny), THEN slice to the requested trial count.
+        a = jnp.concatenate([g[key2] for g in groups])
+        return jax.device_put(a, replicated)[:num_simulations]
+
+    @functools.partial(jax.jit, static_argnames=("pcts",))
+    def reduce_report(fw, mdd, nt, valid, repaired, pcts):
+        q = jnp.asarray(pcts, fw.dtype)
+        fan = jnp.percentile(fw, q, axis=0)             # [P, 19]
+        spy = fw[:, cfg.STRATEGY_INDEX["S2"]]
+        win = jnp.mean(fw > spy[:, None], axis=0)
+        return dict(
+            wealth_fan=fan,
+            mdd_median=jnp.median(mdd, axis=0),
+            trades_per_year=jnp.mean(nt, axis=0) / time_horizon,
+            win_rate_vs_spy=win,
+            valid_frac=jnp.mean(valid.astype(fw.dtype)),
+            repaired_frac=jnp.mean(repaired.astype(fw.dtype)),
+            ruin_frac=jnp.mean((fw <= 0.0).astype(fw.dtype), axis=0),
+        )
+
+    dev = reduce_report(cat("final_wealth"), cat("max_dd"),
+                        cat("num_trades"), cat("valid"), cat("repaired"),
+                        tuple(percentiles))
+    host = {k2: np.asarray(v) for k2, v in dev.items()}
+
+    cap = float(cfg.INITIAL_CAPITAL)
+    sids = sorted(cfg.STRATEGY_INDEX, key=cfg.STRATEGY_INDEX.get)
+    report: Dict = {
+        "n_trials": num_simulations, "time_horizon": time_horizon,
+        "percentiles": list(percentiles),
+        "valid_frac": float(host["valid_frac"]),
+        "repaired_frac": float(host["repaired_frac"]),
+        "strategies": {},
+    }
+    for sid in sids:
+        k2 = cfg.STRATEGY_INDEX[sid]
+        wf = host["wealth_fan"][:, k2]
+        report["strategies"][sid] = {
+            "wealth": {f"p{p}": float(w)
+                       for p, w in zip(percentiles, wf)},
+            "cagr": {f"p{p}": float((max(w, 1e-12) / cap)
+                                    ** (1.0 / time_horizon) - 1.0)
+                     for p, w in zip(percentiles, wf)},
+            "median_max_dd": float(host["mdd_median"][k2]),
+            "trades_per_year": float(host["trades_per_year"][k2]),
+            "win_rate_vs_spy": float(host["win_rate_vs_spy"][k2]),
+            "ruin_frac": float(host["ruin_frac"][k2]),
+        }
+    return report
+
+
+def emit_regime_paths(model: SimModel | Dict, time_horizon: int,
+                      trial_indices: Sequence[int], seed: int = 0,
+                      num_simulations: Optional[int] = None,
+                      use_antithetic: Optional[bool] = None,
+                      random_start_method: Optional[str] = None,
+                      anchors=None) -> np.ndarray:
+    """Per-day regime paths [len(trials), sim_days] (int8) for selected
+    trials via deterministic replay — the reference attaches Regime_Path
+    to every worker result (simulation/engine.py:592-604); here it
+    regenerates on demand from (seed, trial_id) instead of being stored."""
+    from letf_tpu.ops.path_batched import draw_innovations_fast
+
+    if not isinstance(model, SimModel):
+        model = build_sim_model(model)
+    if num_simulations is None:
+        num_simulations = cfg.NUM_SIMULATIONS
+    if use_antithetic is None:
+        use_antithetic = cfg.USE_ANTITHETIC_VARIATES
+    if random_start_method is None:
+        random_start_method = (cfg.RANDOM_START_METHOD if cfg.USE_RANDOM_START
+                               else "none")
+    sim_days = int(time_horizon * cfg.TRADING_DAYS)
+    buffer_days = (int(cfg.RANDOM_START_BUFFER_YEARS * cfg.TRADING_DAYS)
+                   if random_start_method == "offset" else 0)
+    ids, anti = _trial_layout(num_simulations, use_antithetic)
+    sel = list(trial_indices)
+    innov = jax.jit(draw_innovations_fast, static_argnames=(
+        "sim_days", "buffer_days", "random_start_method", "joint_draws",
+        "aux_draws"))(
+        model, jax.random.key(seed), jnp.asarray(ids[sel], jnp.int32),
+        jnp.asarray(anti[sel]), sim_days, buffer_days,
+        random_start_method=random_start_method, anchors=anchors,
+        joint_draws=False, aux_draws=False)
+    reg = np.asarray(innov.regime_full)
+    off = np.asarray(innov.start_offset)
+    idx = off[:, None] + np.arange(sim_days)[None, :]
+    return np.take_along_axis(reg, idx, axis=1).astype(np.int8)
+
+
 def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
                                correlation_matrices=None, historical_df=None,
                                num_simulations: Optional[int] = None,
@@ -690,6 +868,14 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
                              num_simulations=num_simulations, seed=seed,
                              bootstrap_pools=bootstrap_pools,
                              anchors=anchors)
+
+    regime_paths = None
+    if include_regime_paths:
+        # Reference parity: the full per-day regime path on every result
+        # (simulation/engine.py:592-604), replayed deterministically.
+        regime_paths = emit_regime_paths(
+            model, time_horizon, range(num_simulations), seed=seed,
+            num_simulations=num_simulations, anchors=anchors)
 
     want_trades = (num_simulations <= trade_list_limit
                    and any(s in cfg.TAXABLE_IDS for s in strategy_ids))
@@ -751,6 +937,7 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
             }
             if include_regime_paths:
                 result["Regime_High_Days"] = high
+                result["Regime_Path"] = regime_paths[i]
             if sid in cfg.TAXABLE_IDS:
                 if i in trade_lists:
                     result["Trade_List"] = trade_lists[i][sid]

@@ -308,20 +308,37 @@ def _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q, basis_ps,
     them."""
     B, S = price.shape
     dt = price.dtype
-    days = jnp.arange(S)
     Y = n_years
     tile = _DAYS_PER_YEAR
     n_tiles = -(-S // tile)
     L = min(band, S)
     max_levels = -(-S // L)
 
-    out = jnp.zeros((B, Y, 5), dt)
-    for jt in range(n_tiles):
-        j0, j1 = jt * tile, min((jt + 1) * tile, S)
-        cs_t, csp_t = cs[:, j0:j1], cs_prev[:, j0:j1]
-        p_t = price[:, j0:j1]
-        day_t = jnp.broadcast_to(days[None, j0:j1], cs_t.shape)
-        abuy_t = anybuy[:, j0:j1]
+    # Pad the sell axis to whole tiles so the fori_loop body has one
+    # static shape: padded days carry sell_m == 0 (cs edge-padded), so
+    # every padded pair amount clips to zero and the year one-hot maps
+    # padded days past Y (contributing nothing).
+    S_pad = n_tiles * tile
+    pad = S_pad - S
+
+    def padr(a, mode="edge"):
+        return jnp.pad(a, ((0, 0), (0, pad)), mode=mode) if pad else a
+
+    cs_p, csp_p = padr(cs), padr(cs)        # csp pad == cs pad -> amt 0
+    csp_p = jnp.concatenate([cs_prev, cs_p[:, S:]], axis=1) if pad \
+        else cs_prev
+    price_p = padr(price)
+    abuy_p = jnp.pad(anybuy, ((0, 0), (0, pad))) if pad else anybuy
+
+    def tile_body(jt, out):
+        j0 = jt * tile
+        j1 = jnp.minimum(j0 + tile, S)
+        sl = functools.partial(jax.lax.dynamic_slice_in_dim,
+                               start_index=j0, slice_size=tile, axis=1)
+        cs_t, csp_t, p_t = sl(cs_p), sl(csp_p), sl(price_p)
+        abuy_t = sl(abuy_p)
+        day_t = jnp.broadcast_to(
+            (j0 + jnp.arange(tile))[None, :], cs_t.shape)
         # Lots fully consumed before this tile's first sell: cb <= csp.
         P0 = _searchsorted_rows(cb, csp_t[:, :1], side="right")[:, 0]  # [B]
 
@@ -357,10 +374,12 @@ def _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q, basis_ps,
             cond, body,
             (jnp.int32(1), level_block(0), more_needed(0)))
 
-        yr = (days[j0:j1] // _DAYS_PER_YEAR)
+        yr = (j0 + jnp.arange(tile)) // _DAYS_PER_YEAR
         onehot = (yr[:, None] == jnp.arange(Y)[None, :]).astype(dt)
-        out = out + jnp.einsum("bjk,jy->byk", per_sell, onehot)
-    return out
+        return out + jnp.einsum("bjk,jy->byk", per_sell, onehot)
+
+    return jax.lax.fori_loop(0, n_tiles, tile_body,
+                             jnp.zeros((B, Y, 5), dt))
 
 
 ELECTION_METHODS = ("FIFO", "LIFO", "HIFO", "LOFO", "LTFO", "STFO",

@@ -162,6 +162,49 @@ def test_reference_format_results(model):
                              "price", "dollar_amount"}
 
 
+def test_monte_carlo_report_matches_raw_arrays(model):
+    """The device-reduced report path (only the report leaves HBM) must
+    agree with host-side reductions over the raw MCArrays for the same
+    (seed, config) — same trials by deterministic replay."""
+    from letf_tpu.parallel.mc_runner import monte_carlo_report
+
+    n = 16
+    arr = run_monte_carlo(model, 1, num_simulations=n, seed=9, chunk_size=8,
+                          mesh=trial_mesh(jax.devices()[:1]), progress=False)
+    rep = monte_carlo_report(model, 1, num_simulations=n, seed=9,
+                             chunk_size=8, chunks_per_dispatch=2)
+    for sid in ("S1", "S2", "S7", "S19"):
+        k = cfg.STRATEGY_INDEX[sid]
+        got = rep["strategies"][sid]
+        np.testing.assert_allclose(
+            [got["wealth"][f"p{p}"] for p in rep["percentiles"]],
+            np.percentile(arr.final_wealth[:, k], rep["percentiles"]),
+            rtol=1e-10, err_msg=sid)
+        assert got["median_max_dd"] == pytest.approx(
+            float(np.median(arr.max_dd[:, k])), rel=1e-10)
+        assert got["trades_per_year"] == pytest.approx(
+            float(np.mean(arr.num_trades[:, k])) / 1.0, rel=1e-10)
+    spy = arr.final_wealth[:, cfg.STRATEGY_INDEX["S2"]]
+    k7 = cfg.STRATEGY_INDEX["S7"]
+    assert rep["strategies"]["S7"]["win_rate_vs_spy"] == pytest.approx(
+        float(np.mean(arr.final_wealth[:, k7] > spy)))
+    assert rep["valid_frac"] == pytest.approx(float(arr.valid.mean()))
+
+
+def test_regime_path_opt_in(model):
+    """include_regime_paths attaches the FULL per-day regime path
+    (reference engine.py:592-604), consistent with the engine's own
+    Regime_High_Days count (VERDICT r2 missing #3)."""
+    mc = parallel_monte_carlo_fixed(
+        strategy_ids=["S2"], time_horizon=1, regime_model=None,
+        num_simulations=6, include_regime_paths=True)
+    for r in mc["S2"]:
+        path = r["Regime_Path"]
+        assert path.shape == (252,)
+        assert set(np.unique(path)).issubset({0, 1})
+        assert int((path == 1).sum()) == r["Regime_High_Days"]
+
+
 def test_antithetic_pairs_share_base_id(model):
     mc = parallel_monte_carlo_fixed(
         strategy_ids=["S2"], time_horizon=1, regime_model=None,

@@ -266,3 +266,27 @@ def test_wired_engine_loss_carryforward():
                     "ordinary_income": 150000})
     # Loss is allowed (no replacement buy): CF persists after the $3k deductions.
     assert out["final_cf"]["st"] + out["final_cf"]["lt"] > 0
+
+
+def test_tax_regime_monte_carlo():
+    """tax/regimes.py (VERDICT r2 weak #9): the rule-interpretation MC
+    samples regimes at their stated probabilities, routes through the real
+    netting engine, and reports per-regime breakdowns + guarantees."""
+    from letf_tpu.tax.regimes import (
+        TAX_REGIMES,
+        get_system_guarantees,
+        monte_carlo_tax_regimes,
+    )
+
+    assert abs(sum(r.probability for r in TAX_REGIMES) - 1.0) < 1e-9
+    out = monte_carlo_tax_regimes(
+        st_gains=50_000.0, st_losses=10_000.0, lt_gains=30_000.0,
+        lt_losses=5_000.0, st_cf_in=0.0, lt_cf_in=0.0,
+        elections=TaxpayerElections(), n_samples=400, seed=7)
+    # Netting: ST 40k + LT 25k taxable regardless of regime (rule toggles
+    # annotate rules_applied; they do not change statutory netting).
+    assert out["expected_taxable"] == pytest.approx(65_000.0)
+    assert set(out["regime_breakdown"]) <= {r.name for r in TAX_REGIMES}
+    assert len(out["regime_breakdown"]) >= 2
+    g = get_system_guarantees()
+    assert "capital_gains_netting" in g and "not_guaranteed" in g
