@@ -142,7 +142,8 @@ def bench_distribution(platform: str):
     from letf_tpu.parallel.mc_runner import run_monte_carlo
 
     df = fetch_historical_data(force_synthetic=True)
-    model = build_sim_model(calibrate_all(df))
+    regime_model, _ = calibrate_all(df)
+    model = build_sim_model(regime_model)
 
     n = 16384 if platform != "cpu" else 512
     horizons = (10, 20, 30) if platform != "cpu" else (10,)
@@ -195,7 +196,7 @@ def bench_exact_tax(platform: str):
     from letf_tpu.reporting import exact_post_tax_all_trials
 
     model = default_sim_model()
-    B = 4096
+    B = 2048
     exact_post_tax_all_trials(model, 30, B, chunk_size=B, seed=3)  # warm
     t0 = time.perf_counter()
     out = exact_post_tax_all_trials(model, 30, B, chunk_size=B, seed=4)

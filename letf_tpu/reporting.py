@@ -390,6 +390,7 @@ def exact_post_tax_all_trials(model, time_horizon: int,
             jnp.asarray(anti[sl]), sim_days, buffer_days,
             random_start_method=method, apply_costs=True, emit_trades=True)
         tj_alloc, tj_value, tj_price, tj_asset = emission
+        S_e = tj_alloc.shape[0]
         lot_cap = None
         if lot_method != "FIFO":
             # One capacity covering every requested strategy in this chunk
@@ -398,22 +399,39 @@ def exact_post_tax_all_trials(model, time_horizon: int,
                 tj_alloc[:, :, c], tj_value[:, :, c],
                 tj_price[:, :, c], tj_asset[:, :, c]) for c in cols)
             lot_cap = max(256, -(-worst // 256) * 256)
-        for sid, col in zip(strategy_ids, cols):
+        # Strategies fold into the bridge's batch axis in groups, so the
+        # day scans (replay, wash matching) amortize their per-step
+        # overhead across every strategy instead of paying it 13 times.
+        # S8 gets its own group: it is the only strategy trading the SPY
+        # leg, and batching it with others would defeat the bridge's
+        # empty-asset runtime skip for the whole group.
+        gsz = max(1, 8192 // max(n_here, 1))
+        pairs = [(s, c) for s, c in zip(strategy_ids, cols) if s != "S8"]
+        groups = [pairs[g0:g0 + gsz] for g0 in range(0, len(pairs), gsz)]
+        if "S8" in strategy_ids:
+            groups.append([(s, c) for s, c in zip(strategy_ids, cols)
+                           if s == "S8"])
+        for grp in groups:
+            gsids = [s for s, _ in grp]
+            gcols = [c for _, c in grp]
+            G = len(gcols)
+            stacked = tuple(jnp.reshape(e[:, :, jnp.asarray(gcols)],
+                                        (S_e, n_here * G))
+                            for e in emission)
             activity, n_trades = yearly_activity_from_emission(
-                tj_alloc[:, :, col], tj_value[:, :, col],
-                tj_price[:, :, col], tj_asset[:, :, col],
-                n_years=time_horizon, method=lot_method,
+                *stacked, n_years=time_horizon, method=lot_method,
                 lot_capacity=lot_cap)
             tax = total_tax_all_trials(
                 activity[..., :4], income, cfg.INITIAL_CAPITAL,
                 n_trades.astype(activity.dtype) / time_horizon, **kw)
-            k = cfg.STRATEGY_INDEX[sid]
-            w = summaries["final_wealth"][:, k]
-            pre[sid].append(np.asarray(w))
-            # Drag capped at 100% like the reference tables (IRC §1211
-            # asymmetry: gains taxed fully, losses deductible $3k/yr).
-            post[sid].append(np.asarray(jnp.maximum(w - tax["total_tax"],
-                                                    0.0)))
+            total = np.asarray(tax["total_tax"]).reshape(n_here, G)
+            for gi, sid in enumerate(gsids):
+                k = cfg.STRATEGY_INDEX[sid]
+                w = np.asarray(summaries["final_wealth"][:, k])
+                pre[sid].append(w)
+                # Drag capped at 100% like the reference tables (IRC §1211
+                # asymmetry: gains taxed fully, losses deductible $3k/yr).
+                post[sid].append(np.maximum(w - total[:, gi], 0.0))
         n_done += n_here
 
     out = {}

@@ -57,6 +57,14 @@ IDX_SPY = cfg.ASSET_INDEX["SPY"]
 _BRIDGE_ASSETS = (IDX_TQQQ, IDX_SPY)   # assets taxable strategies trade
 
 
+def _scan_unroll() -> int:
+    """Unroll the day scans on TPU: their per-step bodies are tiny
+    ([B]-to-[B, 61] element work), so XLA while-loop iteration overhead
+    dominates — measured ~2 ms/step unrolled=1 (16 s for a 7560-day wash
+    pass). Unrolling amortizes it ~8x. CPU keeps 1 (compile time)."""
+    return 8 if jax.default_backend() == "tpu" else 1
+
+
 def replay_trades(tj_alloc, tj_value, tj_price, tj_asset):
     """Emission -> per-day trades for one strategy column.
 
@@ -85,7 +93,9 @@ def replay_trades(tj_alloc, tj_value, tj_price, tj_asset):
 
     init = tuple(jnp.zeros(B, dt) for _ in _BRIDGE_ASSETS)
     _, (buy_sh, sell_sh) = jax.lax.scan(
-        step, init, (tj_alloc, tj_value, tj_price, tj_asset.astype(jnp.int32)))
+        step, init, (tj_alloc, tj_value, tj_price,
+                     tj_asset.astype(jnp.int32)),
+        unroll=_scan_unroll())
     return {
         "buy_sh": jnp.moveaxis(buy_sh, 0, 1),     # [B, S, A2]
         "sell_sh": jnp.moveaxis(sell_sh, 0, 1),   # [B, S, A2]
@@ -94,8 +104,14 @@ def replay_trades(tj_alloc, tj_value, tj_price, tj_asset):
 
 
 def _searchsorted_rows(a, v, side="right"):
-    """Row-wise searchsorted: a [B, S] sorted per row, v [B, J]."""
-    return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr, side=side))(a, v)
+    """Row-wise searchsorted: a [B, S] sorted per row, v [B, J].
+
+    method='sort' (one XLA variadic sort over keys+queries per row): the
+    default 'scan' method lowers to a binary-search while-loop of gathers,
+    which measured ~16 s for a [4096, 7560] query block on TPU — the sort
+    form runs in milliseconds."""
+    return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr, side=side,
+                                                    method="sort"))(a, v)
 
 
 def _gather_rows(a, idx):
@@ -170,7 +186,8 @@ def _wash_matching_scan(loss, sell_sh, buy_q):
 
     init = (jnp.zeros((B, W), bool), jnp.int32(0))
     _, (dis, rep_off, has) = jax.lax.scan(
-        step, init, (jnp.moveaxis(loss, 1, 0), jnp.moveaxis(sell_sh, 1, 0)))
+        step, init, (jnp.moveaxis(loss, 1, 0), jnp.moveaxis(sell_sh, 1, 0)),
+        unroll=_scan_unroll())
     return (jnp.moveaxis(dis, 0, 1), jnp.moveaxis(rep_off, 0, 1),
             jnp.moveaxis(has, 0, 1))
 
@@ -330,6 +347,8 @@ def _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q, basis_ps,
     price_p = padr(price)
     abuy_p = jnp.pad(anybuy, ((0, 0), (0, pad))) if pad else anybuy
 
+    lots4 = jnp.stack([cb_prev, buy_q, basis_ps, orig.astype(dt)])
+
     def tile_body(jt, out):
         j0 = jt * tile
         j1 = jnp.minimum(j0 + tile, S)
@@ -342,22 +361,46 @@ def _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q, basis_ps,
         # Lots fully consumed before this tile's first sell: cb <= csp.
         P0 = _searchsorted_rows(cb, csp_t[:, :1], side="right")[:, 0]  # [B]
 
+        # Align each row's band start to column 0 with a binary
+        # shift-select roll (log2(S) dense passes) — the per-level
+        # take_along_axis gathers this replaces measured ~1000x slower
+        # than dense selects on TPU. Wrapped tail garbage is masked by
+        # lot_mask; the more_needed read below provably stays unwrapped.
+        rolled = lots4
+        for k in range(int(max(S - 1, 1)).bit_length()):
+            m = ((P0 >> k) & 1) == 1
+            rolled = jnp.where(m[None, :, None],
+                               jnp.roll(rolled, -(1 << k), axis=2), rolled)
+        # Pad to max_levels*L lot columns with inert sentinel lots
+        # (cb_prev huge, q 0 -> amt clips to 0): dynamic_slice CLAMPS its
+        # start index, so the last level's slice would otherwise shift
+        # out of alignment with the I-index mask.
+        pad2 = max_levels * L - S
+        if pad2 > 0:
+            sentinel = jnp.stack([
+                jnp.full((B, pad2), jnp.asarray(1e30, dt)),
+                jnp.zeros((B, pad2), dt), jnp.zeros((B, pad2), dt),
+                jnp.zeros((B, pad2), dt)])
+            rolled = jnp.concatenate([rolled, sentinel], axis=2)
+
         def level_block(lvl):
+            band = jax.lax.dynamic_slice_in_dim(rolled, lvl * L, L, axis=2)
+            cbp_b, q_b, bp_b, or_b = band[0], band[1], band[2], band[3]
             I = P0[:, None] + lvl * L + jnp.arange(L)[None, :]   # [B, L]
             lot_mask = (I < j1).astype(dt)   # FIFO: no lots past the tile
-            Ic = jnp.minimum(I, S - 1)
-            return _pair_buckets(
-                cs_t, csp_t, p_t, day_t, abuy_t,
-                _gather_rows(cb_prev, Ic), _gather_rows(buy_q, Ic),
-                _gather_rows(basis_ps, Ic), _gather_rows(orig, Ic),
-                lot_mask)
+            return _pair_buckets(cs_t, csp_t, p_t, day_t, abuy_t,
+                                 cbp_b, q_b, bp_b, or_b, lot_mask)
 
         def more_needed(lvl):
             # A sell extends past the band iff its frontier exceeds the
             # band-end lot's cumulative bought shares (and lots remain).
+            # end - P0 = (lvl+1)*L - 1 < j1 - P0 <= S - P0 whenever
+            # has_more holds, so the rolled read is never wrapped there.
             end = P0 + (lvl + 1) * L - 1                         # [B]
             has_more = end + 1 < j1
-            cb_end = _gather_rows(cb, jnp.minimum(end, S - 1)[:, None])
+            idx = jnp.minimum((lvl + 1) * L - 1, S - 1)
+            cb_end = jax.lax.dynamic_slice_in_dim(
+                rolled[0] + rolled[1], idx, 1, axis=1)           # [B, 1]
             return jnp.any(has_more[:, None]
                            & (cs_t[:, -1:] > cb_end))
 
@@ -512,10 +555,18 @@ def yearly_activity_from_emission(tj_alloc, tj_value, tj_price, tj_asset,
     tr = replay_trades(tj_alloc, tj_value, tj_price, tj_asset)
     out = None
     for k in range(len(_BRIDGE_ASSETS)):
-        act = _asset_yearly_activity(tr["buy_sh"][..., k],
-                                     tr["sell_sh"][..., k],
-                                     tr["price"], n_years, method=method,
-                                     lot_capacity=lot_capacity)
+        buy_k = tr["buy_sh"][..., k]
+        sell_k = tr["sell_sh"][..., k]
+        # Runtime skip for assets the strategy never touches (only S8
+        # trades the SPY leg): lax.cond executes one branch, halving the
+        # bridge cost for 12 of the 13 taxable strategies.
+        act = jax.lax.cond(
+            jnp.any(sell_k > _MIN_SHARES),
+            lambda b, s, p: _asset_yearly_activity(
+                b, s, p, n_years, method=method,
+                lot_capacity=lot_capacity),
+            lambda b, s, p: jnp.zeros((b.shape[0], n_years, 5), b.dtype),
+            buy_k, sell_k, tr["price"])
         out = act if out is None else out + act
     n_trades = jnp.sum((tr["buy_sh"] > 0) | (tr["sell_sh"] > 0),
                        axis=(1, 2)).astype(jnp.int32)

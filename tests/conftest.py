@@ -26,7 +26,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: amortize scan compiles across test runs.
-_CACHE_DIR = "/tmp/letf_tpu_jax_cache"
+# Separate dir from the TPU sessions' cache: concurrent writers (a pytest
+# run alongside a TPU bench) can truncate entries, and a corrupt entry
+# segfaults jax on the next cache READ — keep the blast radii apart.
+_CACHE_DIR = "/tmp/letf_tpu_jax_cache_cpu"
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
