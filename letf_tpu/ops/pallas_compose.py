@@ -14,9 +14,9 @@ LETF returns for all six assets in one pass:
 All stress/TE draws are counter-based in-kernel (same murmur3 scheme as
 the joint kernel, different stream salts; pairs share draws via the base
 trial id, matching fast_draws semantics where only joint normals are
-antithetic-negated). Student-t draws use the chi-square log-quantile
-Chebyshev tables for df=5 and df=10 (module constants — the TE dfs are
-static asset config).
+antithetic-negated). Student-t draws (crisis-jump magnitude, per-asset
+tracking error) use Bailey's exact polar method straight from two
+uniform streams (see _t_polar) — the TE dfs are static asset config.
 
 The carry (liq, cred, te[6], ema_bias[6]) lives in VMEM scratch across day
 blocks; per-trial summaries (jump days, liq/cred sums) accumulate in
@@ -57,19 +57,6 @@ def _stream_bits(day_key, idx: int):
     return _mix(day_key + np.uint32((0x9E3779B9 * idx) & 0xFFFFFFFF))
 
 
-def _chi_cheb_f32(df: float) -> np.ndarray:
-    from letf_tpu.models.params import chi2_log_quantile_cheb
-
-    return chi2_log_quantile_cheb(float(df)).astype(np.float32)
-
-
-@functools.lru_cache(maxsize=None)
-def _te_chi_tables() -> np.ndarray:
-    """[A, K] chi-square log-quantile coeffs for each asset's TE df."""
-    dfs = cfg.asset_table().te_df
-    return np.stack([_chi_cheb_f32(float(d)) for d in dfs])
-
-
 def _normals(day_key, idx0: int, n: int):
     """n standard normals per lane from draw indices idx0, idx0+1, ...."""
     us = [_bits_to_unit(_stream_bits(day_key, idx0 + i))
@@ -89,22 +76,27 @@ def _uniforms(day_key, idx0: int, n: int):
             for i in range(n)]
 
 
-def _chi_from_poly(zc, coeffs_np):
-    """Chi-square draw from one normal via static f32 Chebyshev coeffs."""
-    t = jnp.clip(zc * (1.0 / 6.3), -1.0, 1.0)
-    b1 = jnp.zeros_like(t)
-    b2 = jnp.zeros_like(t)
-    K = coeffs_np.shape[0]
-    for k in range(K - 1, 0, -1):
-        b1, b2 = float(coeffs_np[k]) + 2.0 * t * b1 - b2, b1
-    return jnp.exp(float(coeffs_np[0]) + t * b1 - b2)
+def _t_polar(day_key, idx0: int, df: float):
+    """One EXACT Student-t(df) draw from TWO uniform counter streams
+    (Bailey 1994, the trig form of the polar method):
+
+        t = sqrt(df * (u1^(-2/df) - 1)) * cos(2*pi*u2)
+
+    Replaces the (Box-Muller normal, chi-square log-quantile Chebyshev)
+    pair this kernel used previously: same two (trial, day, idx) streams,
+    ~half the VPU ops (no second Box-Muller leg, no 13-term Clenshaw, no
+    exp/divide), and exact tails instead of a quantile polynomial.
+    df -> inf recovers Box-Muller: u1^(-2/df)-1 ~ -(2/df)ln(u1)."""
+    u1, u2 = _uniforms(day_key, idx0, 2)
+    w = jnp.exp(jnp.log(u1) * (-2.0 / df)) - 1.0
+    return jnp.sqrt(df * w) * jnp.cos(_TWO_PI * u2)
 
 
 def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
                     spy_ref, qqq_ref, tlt_ref, vix_ref, irx_ref, reg_ref,
                     etf_refs_cash_rf_sum, state, *,
                     day_block: int, n_blocks: int, use_stress: bool,
-                    use_funding: bool, te_cheb: tuple, und_idx: tuple):
+                    use_funding: bool, und_idx: tuple):
     """One (tile, day-block) program.
 
     seed_ref: [2] int32 run-seed words (SMEM)
@@ -164,7 +156,7 @@ def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
 
         # ---- latent stress + crisis jumps (window day 0 inits at mu) ----
         if use_stress:
-            n_liq, n_cred, z_t, zc5 = _normals(day_key, _STRESS_IDX, 4)
+            n_liq, n_cred = _normals(day_key, _STRESS_IDX, 2)
             u_jump, u_sign = _uniforms(day_key, _STRESS_IDX + 4, 2)
             lmu, cmu = g2(LIQ_MU), g2(CRED_MU)
             liq_n = jnp.clip(lmu + g2(LIQ_PHI) * (liq - lmu)
@@ -176,8 +168,7 @@ def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
             vix_amp = jnp.maximum((vix - 25.0) / 30.0, 0.0)
             p = jnp.clip(g2(JP_BASE) + 0.008 * vix_amp + 0.003 * liq_n,
                          0.0, 0.01)
-            chi5 = _chi_from_poly(zc5, _CHI5)
-            t_abs = jnp.abs(z_t * jnp.sqrt(5.0 / jnp.maximum(chi5, 1e-12)))
+            t_abs = jnp.abs(_t_polar(day_key, _STRESS_IDX + 2, 5.0))
             jump_on = ((u_jump < p).astype(jnp.float32)
                        * (1.0 - firstf))
             jump = jump_on * t_abs * g2(JP_SCALE)
@@ -211,7 +202,6 @@ def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
         streams = (spy_a, qqq_a, tlt)
         vix_mult = jnp.clip(jnp.sqrt(vix / 20.0), 0.5, 1.5)
         regime_mult = 1.0 + 0.15 * r
-        zs = _normals(day_key, _TE_IDX, 2 * _A)
         for a in range(_A):
             und = streams[und_idx[a]] * ap_ref[BETA, a]
             lev = ap_ref[LEV, a]
@@ -220,9 +210,7 @@ def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
                       * jnp.maximum(risk_free + sp_a, 0.0) / 252.0)
             lev_ret = lev * und - ap_ref[ER, a] / 252.0 - borrow
 
-            chi_a = _chi_from_poly(zs[2 * a + 1], te_cheb[a])
-            df_a = float(_TE_DFS[a])
-            t_a = zs[2 * a] * jnp.sqrt(df_a / jnp.maximum(chi_a, 1e-12))
+            t_a = _t_polar(day_key, _TE_IDX + 2 * a, float(_TE_DFS[a]))
             neg = (und < 0).astype(jnp.float32)
             move = ((1.0 + 0.3 * jnp.abs(und))
                     * (ap_ref[DOWNSIDE, a] * neg + 0.98 * (1.0 - neg)))
@@ -267,7 +255,6 @@ def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
 
 _EMA_ALPHA = 2.0 / (126 + 1)
 _TE_DFS = np.asarray(cfg.asset_table().te_df)
-_CHI5 = _chi_cheb_f32(5.0)
 
 
 def _pack_stress_params(model):
@@ -336,7 +323,6 @@ def pallas_compose_generate(sp, ap, base_ids, seed_words,
         day_block //= 2
     NB = sim_days // day_block
 
-    te_cheb = tuple(_te_chi_tables())
     ids = base_ids.astype(jnp.int32).reshape(G, _SUB, _LANES)
 
     blk = pl.BlockSpec((1, day_block, _SUB, _LANES),
@@ -350,7 +336,7 @@ def pallas_compose_generate(sp, ap, base_ids, seed_words,
                         (e0, e1, e2, e3, e4, e5, spya, qqqa, cash, summ),
                         state, day_block=day_block, n_blocks=NB,
                         use_stress=use_stress, use_funding=use_funding,
-                        te_cheb=te_cheb, und_idx=und_key)
+                        und_idx=und_key)
 
     outs = pl.pallas_call(
         wrapped,

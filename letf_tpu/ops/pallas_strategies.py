@@ -134,8 +134,7 @@ def _guard(v, eps, default):
 def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
                      apply_costs: bool, has_cashflows: bool,
                      consts: dict, sub: int, fused_signals: bool = False,
-                     fused_compose: bool = False, te_cheb=None,
-                     und_idx=None):
+                     fused_compose: bool = False, und_idx=None):
     """One (trial-tile, day-block) program.
 
     cf_ref: [S] f32 cashflow schedule (SMEM; zeros when has_cashflows is
@@ -248,12 +247,11 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             # same counter-based draw streams, so results match the
             # standalone compose kernel) ----
             from letf_tpu.ops.pallas_compose import (
-                _CHI5,
                 _EMA_ALPHA,
                 _TE_DFS,
-                _chi_from_poly,
                 _normals,
                 _STRESS_IDX,
+                _t_polar,
                 _TE_IDX,
                 _uniforms,
             )
@@ -285,7 +283,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
 
             liq = state[_C_LIQ]
             cred = state[_C_CRED]
-            n_liq, n_cred, z_t, zc5 = _normals(day_key, _STRESS_IDX, 4)
+            n_liq, n_cred = _normals(day_key, _STRESS_IDX, 2)
             u_jump, u_sign = _uniforms(day_key, _STRESS_IDX + 4, 2)
             lmu, cmu = g2(LIQ_MU), g2(CRED_MU)
             liq_n = jnp.clip(lmu + g2(LIQ_PHI) * (liq - lmu)
@@ -297,8 +295,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             vix_amp = jnp.maximum((vix - 25.0) / 30.0, 0.0)
             pjump = jnp.clip(g2(JP_BASE) + 0.008 * vix_amp + 0.003 * liq_n,
                              0.0, 0.01)
-            chi5 = _chi_from_poly(zc5, _CHI5)
-            t_abs = jnp.abs(z_t * jnp.sqrt(5.0 / jnp.maximum(chi5, 1e-12)))
+            t_abs = jnp.abs(_t_polar(day_key, _STRESS_IDX + 2, 5.0))
             jump_on = ((u_jump < pjump).astype(jnp.float32)
                        * (1.0 - firstf_c))
             jump = jump_on * t_abs * g2(JP_SCALE)
@@ -344,10 +341,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
                 borrow = (jnp.maximum(lev - 1.0, 0.0)
                           * jnp.maximum(risk_free + spread, 0.0) / 252.0)
                 lev_ret = lev * und - ap_ref[C_ER, a] / 252.0 - borrow
-                z_a, z_chi = _normals(day_key, _TE_IDX + 2 * a, 2)
-                chi_a = _chi_from_poly(z_chi, te_cheb[a])
-                df_a = float(_TE_DFS[a])
-                t_a = z_a * jnp.sqrt(df_a / jnp.maximum(chi_a, 1e-12))
+                t_a = _t_polar(day_key, _TE_IDX + 2 * a, float(_TE_DFS[a]))
                 negu = (und < 0).astype(jnp.float32)
                 move = ((1.0 + 0.3 * jnp.abs(und))
                         * (ap_ref[C_DOWNSIDE, a] * negu
@@ -981,8 +975,6 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     Returns (final_wealth [B, NS], num_trades, max_dd,
     etf_finite [B] bool, jump_days [B] int32, liq_sum [B], cred_sum [B]).
     """
-    from letf_tpu.ops.pallas_compose import _te_chi_tables
-
     G, S, sub, _ = spy.shape
     B = G * sub * _LANES
     while S % day_block != 0:
@@ -993,7 +985,6 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
           else jnp.zeros((S,), jnp.float32))
     ids = base_ids.astype(jnp.int32).reshape(G, sub, _LANES)
     und_idx = tuple(int(i) for i in cfg.asset_table().underlying)
-    te_cheb = tuple(_te_chi_tables())
 
     blk = pl.BlockSpec((1, day_block, sub, _LANES),
                        lambda g, j: (g, j, 0, 0), memory_space=pltpu.VMEM)
@@ -1002,7 +993,7 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
         _strategy_kernel, day_block=day_block, n_blocks=NB,
         apply_costs=apply_costs, has_cashflows=has_cf, consts=_consts(),
         sub=sub, fused_signals=False, fused_compose=True,
-        te_cheb=te_cheb, und_idx=und_idx)
+        und_idx=und_idx)
 
     scratch = [pltpu.VMEM((NSTATE_COMPOSE, sub, _LANES), jnp.float32)]
     scratch += [pltpu.VMEM((w, sub, _LANES), jnp.float32)

@@ -57,30 +57,50 @@ def fits_vmem(T: int, sim_days: int, itemsize: int = 4) -> bool:
     return max_off_pad + 8 <= _ROW_BUDGET
 
 
-def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, *, n_levels: int,
-                   day_block: int):
+def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, xs_ref, *,
+                   n_levels: int, day_block: int):
     """One (slab, day-block) program.
 
     offs_ref: [tiles, 128] int32 per-trial offsets (full array in VMEM)
     body_ref: [1, day_block, 128] aligned day block
     tail_ref: [1, 1, max_off_pad, 128] lookahead rows following the block
     out_ref:  [1, day_block, 128] windowed output
+    xs_ref:   [rows, 128] int32 VMEM scratch (working tile)
+
+    Two-phase shift: one dynamic coarse roll by the plane's MINIMUM
+    offset, then MSB-first binary shift-select levels on the residual —
+    each level predicated on the plane's residual range actually reaching
+    that bit, so a plane whose 128 lanes hold similar offsets runs ~
+    log2(spread) levels instead of log2(max_off). The slab pipeline
+    sorts trial lanes by offset (ops/slab_chunk.py) to make every plane's
+    spread small; unsorted offsets still produce identical output, just
+    with every level active. Bit-identical to the gather either way:
+    after the coarse roll the remaining per-lane shift is offs - min,
+    and after level k it is < 2^k, so out rows [0, day_block) are valid
+    at the end (wrapped garbage stays beyond day_block + residual).
     """
     g = pl.program_id(0)
     n_tiles = offs_ref.shape[0]
-    x = pltpu.bitcast(
-        jnp.concatenate([body_ref[0], tail_ref[0, 0]], axis=0), jnp.int32)
-    rows = x.shape[0]
+    rows = xs_ref.shape[0]
     offs = offs_ref[g % n_tiles, :]
-    # MSB-first binary shift-select: after level k the remaining per-lane
-    # shift is < 2^k, so out rows [0, day_block) are valid at the end
-    # (wrapped garbage stays beyond day_block + remaining shift).
+    off_min = jnp.min(offs)
+    res = offs - off_min
+    res_max = jnp.max(res)
+    x0 = pltpu.bitcast(
+        jnp.concatenate([body_ref[0], tail_ref[0, 0]], axis=0), jnp.int32)
+    # Coarse roll right by rows - off_min == roll left by off_min
+    # (off_min == 0 -> shift == rows - 0; mod keeps it in [0, rows)).
+    xs_ref[...] = pltpu.roll(x0, (rows - off_min) % rows, 0)
     for k in reversed(range(n_levels)):
         shift = (1 << k) % rows
-        mask = -((offs >> k) & 1)                 # 0 or all-ones, per lane
-        rolled = pltpu.roll(x, rows - shift, 0)   # roll right by rows-shift
-        x = (rolled & mask[None, :]) | (x & ~mask[None, :])
-    out_ref[0] = pltpu.bitcast(x[:day_block], jnp.float32)
+
+        @pl.when(res_max >= (1 << k))
+        def _():
+            x = xs_ref[...]
+            mask = -((res >> k) & 1)              # 0 or all-ones, per lane
+            rolled = pltpu.roll(x, rows - shift, 0)
+            xs_ref[...] = (rolled & mask[None, :]) | (x & ~mask[None, :])
+    out_ref[0] = pltpu.bitcast(xs_ref[:day_block], jnp.float32)
 
 
 def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
@@ -146,6 +166,8 @@ def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
         out_specs=pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, S_pad, _LANES), slabs.dtype),
+        scratch_shapes=[pltpu.VMEM((day_block + max_off_pad, _LANES),
+                                   jnp.int32)],
         interpret=interpret,
     )(offs_rows, body, tails)[:, :sim_days]
 

@@ -300,6 +300,21 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
     return (start_regime[:, None] ^ (completed % 2)).astype(jnp.int32)
 
 
+def start_offsets_only(run_key, trial_ids, buffer_days: int):
+    """The 'offset' random-start draw alone: bitwise the start_offset that
+    draw_innovations_fast produces for the same (run_key, trial_ids,
+    buffer_days). Lets the slab pipeline pre-sort trial lanes by offset
+    (ops/slab_chunk.py) before paying for the full innovation pass."""
+    from letf_tpu.ops import rng as rngs
+
+    tks = jax.vmap(lambda t: rngs.trial_key(run_key, t))(trial_ids)
+    kstart = jax.vmap(lambda k: rngs.stream(k, rngs.START))(tks)
+    k_off = jax.vmap(lambda k: jax.random.split(k, 3))(kstart)[:, 0]
+    min_offset = min(50, buffer_days // 4)
+    return jax.vmap(
+        lambda k: jax.random.randint(k, (), min_offset, buffer_days))(k_off)
+
+
 def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
                           sim_days: int, buffer_days: int = 0,
                           random_start_method: str = "offset",

@@ -74,6 +74,20 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     sub = next(h for h in (32, 16, 8) if B % (h * _LANES) == 0)
     T = sim_days + buffer_days
 
+    # Sort trial lanes by start offset so each 128-lane plane of the
+    # windowing kernel sees a tight offset range and its predicated
+    # shift-select levels collapse to ~log2(spread) instead of
+    # log2(buffer). Every per-trial value is a pure function of
+    # (run_key, trial_id), so lane order is free; summaries are
+    # unsorted back below — results are bitwise identical.
+    inv = None
+    if random_start_method == "offset" and buffer_days > 0:
+        offs_pre = pb.start_offsets_only(run_key, trial_ids, buffer_days)
+        perm = jnp.argsort(offs_pre)
+        inv = jnp.argsort(perm)
+        trial_ids = trial_ids[perm]
+        antithetic = antithetic[perm]
+
     innov = pb.draw_innovations_fast(
         model, run_key, trial_ids, antithetic, sim_days, buffer_days,
         random_start_method, anchors=anchors, joint_draws=False,
@@ -126,10 +140,15 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
 
     regime_high = _trial_flat(
         jnp.sum(regime_slab == 1.0, axis=1).astype(jnp.int32))
-    return dict(
+    out = dict(
         final_wealth=fw, num_trades=nt, max_dd=mdd,
         valid=valid, repaired=repaired,
         start_offset=innov.start_offset, start_regime=innov.start_regime,
         jump_days=jc.astype(jnp.int32),
         liq_mean=ls / sim_days, credit_mean=cs / sim_days,
         regime_high_days=regime_high)
+    if inv is not None:
+        # Undo the offset sort: row i of the sorted outputs holds trial
+        # perm[i], so original order is x[inv] (inv = argsort(perm)).
+        out = {k: v[inv] for k, v in out.items()}
+    return out

@@ -266,7 +266,6 @@ def test_pallas_compose_kernel_interpret():
         sp = pc._pack_stress_params(model)
         ap = pc._pack_asset_params(model)
         und = tuple(int(i) for i in cfg.asset_table().underlying)
-        te_cheb = tuple(pc._te_chi_tables())
 
         def slab(a, dt=jnp.float32):
             return (a.astype(dt).reshape(G, 8, 128, S).transpose(0, 3, 1, 2))
@@ -285,7 +284,7 @@ def test_pallas_compose_kernel_interpret():
                                (e0, e1, e2, e3, e4, e5, spya, qqqa, cash,
                                 summ), state, day_block=S, n_blocks=1,
                                use_stress=True, use_funding=True,
-                               te_cheb=te_cheb, und_idx=und)
+                               und_idx=und)
 
         outs = pl.pallas_call(
             wrapped, grid=(G, 1),
