@@ -157,7 +157,7 @@ def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
         # ---- latent stress + crisis jumps (window day 0 inits at mu) ----
         if use_stress:
             n_liq, n_cred = _normals(day_key, _STRESS_IDX, 2)
-            u_jump, u_sign = _uniforms(day_key, _STRESS_IDX + 4, 2)
+            (u_jump,) = _uniforms(day_key, _STRESS_IDX + 4, 1)
             lmu, cmu = g2(LIQ_MU), g2(CRED_MU)
             liq_n = jnp.clip(lmu + g2(LIQ_PHI) * (liq - lmu)
                              + g2(LIQ_SIG) * n_liq, 0.0, 3.0)
@@ -168,15 +168,17 @@ def _compose_kernel(seed_ref, sp_ref, ap_ref, ids_ref,
             vix_amp = jnp.maximum((vix - 25.0) / 30.0, 0.0)
             p = jnp.clip(g2(JP_BASE) + 0.008 * vix_amp + 0.003 * liq_n,
                          0.0, 0.01)
-            t_abs = jnp.abs(_t_polar(day_key, _STRESS_IDX + 2, 5.0))
+            # The polar t's sign is an independent fair coin (sign(cos) is
+            # uniform over the quarter-periods and independent of |cos|),
+            # so the signed draw replaces the old |t| * Rademacher(u_sign)
+            # pair: same joint distribution, one fewer uniform per day.
+            t5 = _t_polar(day_key, _STRESS_IDX + 2, 5.0)
             jump_on = ((u_jump < p).astype(jnp.float32)
                        * (1.0 - firstf))
-            jump = jump_on * t_abs * g2(JP_SCALE)
-            sign = 1.0 - 2.0 * (u_sign < 0.5).astype(jnp.float32)
-            signed_jump = jump * sign
+            signed_jump = jump_on * t5 * g2(JP_SCALE)
             spy_a = jnp.clip(spy - signed_jump, -0.95, 3.0)
             qqq_a = jnp.clip(qqq - 1.12 * signed_jump, -0.95, 4.0)
-            jump_cnt = jump_cnt + (jump > 0).astype(jnp.float32)
+            jump_cnt = jump_cnt + jump_on
             liq_sum = liq_sum + liq_n
             cred_sum = cred_sum + cred_n
         else:

@@ -284,7 +284,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             liq = state[_C_LIQ]
             cred = state[_C_CRED]
             n_liq, n_cred = _normals(day_key, _STRESS_IDX, 2)
-            u_jump, u_sign = _uniforms(day_key, _STRESS_IDX + 4, 2)
+            (u_jump,) = _uniforms(day_key, _STRESS_IDX + 4, 1)
             lmu, cmu = g2(LIQ_MU), g2(CRED_MU)
             liq_n = jnp.clip(lmu + g2(LIQ_PHI) * (liq - lmu)
                              + g2(LIQ_SIG) * n_liq, 0.0, 3.0)
@@ -295,15 +295,18 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             vix_amp = jnp.maximum((vix - 25.0) / 30.0, 0.0)
             pjump = jnp.clip(g2(JP_BASE) + 0.008 * vix_amp + 0.003 * liq_n,
                              0.0, 0.01)
-            t_abs = jnp.abs(_t_polar(day_key, _STRESS_IDX + 2, 5.0))
+            # Signed polar t replaces |t| * Rademacher(u_sign): sign(cos)
+            # is an independent fair coin, so the joint law is unchanged
+            # and one uniform draw per day disappears (mirrors
+            # ops/pallas_compose.py — the two kernels must stay
+            # draw-identical for the slab parity gate).
+            t5 = _t_polar(day_key, _STRESS_IDX + 2, 5.0)
             jump_on = ((u_jump < pjump).astype(jnp.float32)
                        * (1.0 - firstf_c))
-            jump = jump_on * t_abs * g2(JP_SCALE)
-            sign = 1.0 - 2.0 * (u_sign < 0.5).astype(jnp.float32)
-            signed_jump = jump * sign
+            signed_jump = jump_on * t5 * g2(JP_SCALE)
             spy_a = jnp.clip(spy_w - signed_jump, -0.95, 3.0)
             qqq_a = jnp.clip(qqq_w - 1.12 * signed_jump, -0.95, 4.0)
-            state[_C_JC] = state[_C_JC] + (jump > 0).astype(jnp.float32)
+            state[_C_JC] = state[_C_JC] + jump_on
             state[_C_LS] = state[_C_LS] + liq_n
             state[_C_CS] = state[_C_CS] + cred_n
             state[_C_LIQ] = liq_n

@@ -67,17 +67,22 @@ def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, xs_ref, *,
     out_ref:  [1, day_block, 128] windowed output
     xs_ref:   [rows, 128] int32 VMEM scratch (working tile)
 
-    Two-phase shift: one dynamic coarse roll by the plane's MINIMUM
-    offset, then MSB-first binary shift-select levels on the residual —
+    Two-phase shift, residual levels FIRST: MSB-first binary shift-select
+    levels realize each lane's residual shift res = offs - min(offs) —
     each level predicated on the plane's residual range actually reaching
-    that bit, so a plane whose 128 lanes hold similar offsets runs ~
-    log2(spread) levels instead of log2(max_off). The slab pipeline
+    that bit, so a plane whose 128 lanes hold similar offsets runs
+    ~log2(spread) levels instead of log2(max_off). The slab pipeline
     sorts trial lanes by offset (ops/slab_chunk.py) to make every plane's
     spread small; unsorted offsets still produce identical output, just
-    with every level active. Bit-identical to the gather either way:
-    after the coarse roll the remaining per-lane shift is offs - min,
-    and after level k it is < 2^k, so out rows [0, day_block) are valid
-    at the end (wrapped garbage stays beyond day_block + residual).
+    with every level active. The remaining shift is then min(offs),
+    UNIFORM across lanes, so it folds into the output store as a
+    dynamic-slice start — no full-tile coarse roll pass at all.
+
+    Bit-identical to the gather: after the levels, y[r] = x[r + res] for
+    r < rows - res, so out[s] = y[s + off_min] = x[s + offs]. Wrapped
+    roll garbage lives in rows >= rows - res_max, and the slice top is
+    off_min + day_block <= rows - max residual by construction
+    (rows = day_block + max_off_pad >= day_block + offs for every lane).
     """
     g = pl.program_id(0)
     n_tiles = offs_ref.shape[0]
@@ -86,11 +91,8 @@ def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, xs_ref, *,
     off_min = jnp.min(offs)
     res = offs - off_min
     res_max = jnp.max(res)
-    x0 = pltpu.bitcast(
+    xs_ref[...] = pltpu.bitcast(
         jnp.concatenate([body_ref[0], tail_ref[0, 0]], axis=0), jnp.int32)
-    # Coarse roll right by rows - off_min == roll left by off_min
-    # (off_min == 0 -> shift == rows - 0; mod keeps it in [0, rows)).
-    xs_ref[...] = pltpu.roll(x0, (rows - off_min) % rows, 0)
     for k in reversed(range(n_levels)):
         shift = (1 << k) % rows
 
@@ -100,7 +102,8 @@ def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, xs_ref, *,
             mask = -((res >> k) & 1)              # 0 or all-ones, per lane
             rolled = pltpu.roll(x, rows - shift, 0)
             xs_ref[...] = (rolled & mask[None, :]) | (x & ~mask[None, :])
-    out_ref[0] = pltpu.bitcast(xs_ref[:day_block], jnp.float32)
+    out_ref[0] = pltpu.bitcast(
+        xs_ref[pl.dslice(off_min, day_block)], jnp.float32)
 
 
 def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
