@@ -192,6 +192,19 @@ def _wash_matching_scan(loss, sell_sh, buy_q):
             jnp.moveaxis(has, 0, 1))
 
 
+def _wash_matching(loss, sell_sh, buy_q):
+    """Dispatch: the Pallas in-kernel day loop on TPU (the scan's per-day
+    body is ~15 tiny ops, so while-loop dispatch overhead dominates it
+    ~100x), the lax.scan everywhere else (CPU tests run it in f64)."""
+    B = loss.shape[0]
+    if (jax.default_backend() == "tpu" and loss.dtype == jnp.float32
+            and B % 1024 == 0):
+        from letf_tpu.ops.pallas_wash import wash_matching_pallas
+
+        return wash_matching_pallas(loss, sell_sh, buy_q)
+    return _wash_matching_scan(loss, sell_sh, buy_q)
+
+
 def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
                            method: str = "FIFO",
                            lot_capacity: int | None = None):
@@ -217,7 +230,7 @@ def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
     gl1 = proceeds - cost1
     loss1 = jnp.where((sell_m > 0) & (gl1 < 0), -gl1, 0.0)
 
-    dis, rep_off, has = _wash_matching_scan(loss1, sell_m, buy_q)
+    dis, rep_off, has = _wash_matching(loss1, sell_m, buy_q)
 
     # Scatter-free unload: basis_adj[b] = sum over offsets o of
     # disallowed at sell day b - o where that sell chose offset o.
@@ -255,8 +268,9 @@ def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
         anybuy = anybuy | (qp[:, _WINDOW + o:_WINDOW + o + S] > _MIN_SHARES)
 
     if method == "FIFO":
-        return _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q,
-                                  basis_ps, orig, anybuy, n_years)
+        return _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev,
+                                        buy_q, basis_ps, orig, anybuy,
+                                        n_years)
     if lot_capacity is None:
         raise ValueError(f"method={method} requires lot_capacity")
     return _election_year_buckets(buy_q, sell_m, price, basis_ps, orig,
@@ -308,6 +322,125 @@ def _fifo_year_buckets_dense(cs, cs_prev, price, cb, cb_prev, buy_q,
         onehot = (yr[:, None] == jnp.arange(Y)[None, :]).astype(dt)
         out = out + jnp.einsum("bjk,jy->byk", per_sell, onehot)
     return out
+
+
+def _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev, buy_q,
+                             basis_ps, orig, anybuy, n_years: int):
+    """Per-year bucketed FIFO gains via the MERGED share coordinate —
+    the production pass-2 (replaces the banded frontier, kept below as a
+    test oracle).
+
+    Both cumulative curves are monotone (cs[d] = shares sold through day
+    d, cb[j] = shares bought through lot j), so the union of their
+    breakpoints partitions consumed share-space into at most 2S segments,
+    and each segment lies inside EXACTLY one (sell day, lot) pair: the
+    pair's overlap interval is bounded by the nearest breakpoints on
+    each side, so no breakpoint falls in its interior. Per-segment
+    sign/holding-period/wash classification therefore equals the dense
+    per-pair classification bit-for... (up to fp association), while the
+    work is one 2-key sort of [B, 2S] plus dense suffix fills — O(S log S)
+    with no data-dependent while-loop levels (the banded frontier paid
+    O(S * L * tiles) plus a 13-pass alignment roll per year tile).
+
+    Mechanics: sort (share_key, is_sell) with lots ordered BEFORE sells
+    at equal keys (stable), so a lot boundary coinciding with a sell
+    boundary contributes a zero-width segment and every tie is absorbed
+    harmlessly. Two suffix fills (reverse associative scans) give each
+    segment its owning sell's (price, day, wash-window flag) and owning
+    lot's (basis, tacked origin). Segments with no owning sell (shares
+    never sold — beyond cs[-1]) are masked. Year aggregation exploits
+    that the owning sell day is non-decreasing along the merged axis:
+    five cumulative sums sampled at year-boundary positions (a [B, Y]
+    searchsorted + tiny gathers)."""
+    B, S = price.shape
+    dt = price.dtype
+    Y = n_years
+    days = jnp.arange(S, dtype=dt)
+
+    # jnp.cumsum is a reassociated tree sum, so cs/cb can DIP by an ulp
+    # across zero-trade runs. The pair formulations are insensitive
+    # (negative overlaps clip to 0), but the merge needs truly monotone
+    # keys: an ulp inversion reorders equal-day sells in the sort and
+    # breaks the owner-day monotonicity the year extraction relies on
+    # (observed: ~5% bucket corruption on S7 at 3y). Running max restores
+    # monotonicity at ulp-level amount cost, inside the dense-oracle
+    # test tolerance.
+    cs = jax.lax.cummax(cs, axis=1)
+    cb = jax.lax.cummax(cb, axis=1)
+
+    # Merged elements: lots carry (basis, orig); sells carry (price, day,
+    # anybuy). sec=0 for lots sorts them before equal-key sells.
+    key = jnp.concatenate([cb, cs], axis=1)                       # [B, 2S]
+    sec = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
+                           jnp.ones((B, S), jnp.int32)], axis=1)
+    va = jnp.concatenate([basis_ps, price], axis=1)               # basis|p
+    vb = jnp.concatenate([orig.astype(dt),
+                          jnp.broadcast_to(days[None], (B, S))], axis=1)
+    vc = jnp.concatenate([jnp.zeros((B, S), dt),
+                          anybuy.astype(dt)], axis=1)
+    key, sec, va, vb, vc = jax.lax.sort(
+        (key, sec, va, vb, vc), dimension=1, num_keys=2, is_stable=True)
+    is_sell = sec == 1
+
+    # Suffix fills: nearest element at-or-after of each type. With
+    # reverse=True the scan combines op(suffix_after_i, element_i), so
+    # "nearest" means the RIGHT argument wins when it is valid (the op is
+    # associative: last-valid-in-scan-order).
+    def fill(a, b):
+        (hs_a, ps_a, ds_a, ab_a, hl_a, bl_a, ol_a) = a
+        (hs_b, ps_b, ds_b, ab_b, hl_b, bl_b, ol_b) = b
+        fs = hs_b.astype(dt)
+        fl = hl_b.astype(dt)
+        return (hs_a | hs_b,
+                fs * ps_b + (1.0 - fs) * ps_a,
+                fs * ds_b + (1.0 - fs) * ds_a,
+                fs * ab_b + (1.0 - fs) * ab_a,
+                hl_a | hl_b,
+                fl * bl_b + (1.0 - fl) * bl_a,
+                fl * ol_b + (1.0 - fl) * ol_a)
+
+    z = jnp.zeros_like(va)
+    has_s, p_own, d_own, ab_own, has_l, b_own, o_own = (
+        jax.lax.associative_scan(
+            fill,
+            (is_sell, jnp.where(is_sell, va, 0.0),
+             jnp.where(is_sell, vb, 0.0), jnp.where(is_sell, vc, 0.0),
+             ~is_sell, jnp.where(is_sell, z, va),
+             jnp.where(is_sell, z, vb)),
+            axis=1, reverse=True))
+
+    amt = jnp.clip(key - jnp.concatenate([jnp.zeros((B, 1), dt),
+                                          key[:, :-1]], axis=1), 0.0, None)
+    valid = has_s & has_l
+    amt = jnp.where(valid, amt, 0.0)
+
+    gl = amt * (p_own - b_own)
+    lt = (d_own - o_own) > _LT_DAYS
+    wash = (gl < 0) & (ab_own > 0.5)
+    buckets = [
+        jnp.where(~wash & ~lt & (gl > 0), gl, 0.0),
+        jnp.where(~wash & ~lt & (gl < 0), -gl, 0.0),
+        jnp.where(~wash & lt & (gl > 0), gl, 0.0),
+        jnp.where(~wash & lt & (gl < 0), -gl, 0.0),
+        jnp.where(wash, -gl, 0.0),
+    ]
+
+    # Year aggregation: d_own is non-decreasing along the merged axis
+    # (sells appear in day order), invalid segments form a suffix — push
+    # them past every year boundary.
+    d_sorted = jnp.where(valid, d_own, jnp.asarray(2 * S, dt))
+    ends = jnp.broadcast_to(
+        (_DAYS_PER_YEAR * (jnp.arange(Y, dtype=dt) + 1.0))[None], (B, Y))
+    pos = _searchsorted_rows(d_sorted, ends, side="left")         # [B, Y]
+    outs = []
+    for v in buckets:
+        c = jnp.concatenate([jnp.zeros((B, 1), dt),
+                             jnp.cumsum(v, axis=1)], axis=1)
+        z_y = _gather_rows(c, pos)                                # [B, Y]
+        prev = jnp.concatenate([jnp.zeros((B, 1), dt), z_y[:, :-1]],
+                               axis=1)
+        outs.append(z_y - prev)
+    return jnp.stack(outs, axis=-1)                               # [B, Y, 5]
 
 
 def _fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, buy_q, basis_ps,

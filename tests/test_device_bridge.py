@@ -112,6 +112,34 @@ def test_device_elections_match_host_tracker(emission, method):
                                    err_msg=f"{method} trial {trial}")
 
 
+def test_pallas_wash_matches_scan_interpret():
+    """The Pallas wash-matching kernel (TPU production path for the
+    sequential one-use replacement matching) must reproduce the lax.scan
+    bitwise in interpret mode on f32 inputs — incl. losses with no
+    eligible replacement, used-buy exclusion, window-edge days, and
+    partial fractions (rep_q < sell quantity)."""
+    from letf_tpu.ops.pallas_wash import wash_matching_pallas
+    from letf_tpu.tax.device_bridge import _wash_matching_scan
+
+    rng = np.random.default_rng(11)
+    B, S = 1024, 300
+    buy = np.where(rng.random((B, S)) < 0.25,
+                   rng.gamma(2.0, 3.0, (B, S)), 0.0).astype(np.float32)
+    sell = np.where(rng.random((B, S)) < 0.15,
+                    rng.gamma(2.0, 4.0, (B, S)), 0.0).astype(np.float32)
+    loss = np.where(rng.random((B, S)) < 0.5,
+                    rng.gamma(2.0, 50.0, (B, S)), 0.0).astype(np.float32)
+    loss = np.where(sell > 0, loss, 0.0)
+
+    lj, sj, bj = (jnp.asarray(a, jnp.float32) for a in (loss, sell, buy))
+    dis_s, off_s, has_s = _wash_matching_scan(lj, sj, bj)
+    dis_p, off_p, has_p = wash_matching_pallas(lj, sj, bj, interpret=True)
+    np.testing.assert_array_equal(np.asarray(has_p), np.asarray(has_s))
+    np.testing.assert_array_equal(np.asarray(off_p), np.asarray(off_s))
+    np.testing.assert_allclose(np.asarray(dis_p), np.asarray(dis_s),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_banded_frontier_matches_dense_pairing():
     """The banded-frontier FIFO bucketing (O(S*L), the scaling fix for
     exact tax at 30y — VERDICT r2 weak #5) must equal the dense O(S^2)
@@ -121,6 +149,7 @@ def test_banded_frontier_matches_dense_pairing():
     from letf_tpu.tax.device_bridge import (
         _fifo_year_buckets,
         _fifo_year_buckets_dense,
+        _fifo_year_buckets_merge,
     )
 
     rng = np.random.default_rng(7)
@@ -158,6 +187,14 @@ def test_banded_frontier_matches_dense_pairing():
             band=band))
         np.testing.assert_allclose(banded, dense, rtol=1e-9, atol=1e-6,
                                    err_msg=f"band={band}")
+    # The production merged-coordinate formulation (one 2-key sort + two
+    # suffix fills) must match the same dense oracle — including the
+    # tie case where the final liquidation ends exactly on a lot
+    # boundary (cs[-1] == cb[-1] by construction above).
+    merged = np.asarray(_fifo_year_buckets_merge(
+        cs, cs_prev, p, cb, cb_prev, bq, basis, orig, anybuy, Y))
+    np.testing.assert_allclose(merged, dense, rtol=1e-9, atol=1e-6,
+                               err_msg="merge")
 
 
 def test_device_bridge_scales_and_feeds_tax(emission):
