@@ -38,9 +38,21 @@ def p2(bq, sm, price):
     return db._fifo_year_buckets(cs, cs_prev, price, cb, cb_prev, bq,
                                  price, orig, anybuy, years)
 
+def p2_merge(bq, sm, price):
+    cb = jnp.cumsum(bq, axis=1); cb_prev = cb - bq
+    cs = jnp.cumsum(sm, axis=1); cs_prev = cs - sm
+    orig = jnp.broadcast_to(jnp.arange(S)[None, :], bq.shape)
+    anybuy = jnp.zeros(bq.shape, bool)
+    return db._fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev,
+                                       bq, price, orig, anybuy, years)
+
+from letf_tpu.ops.pallas_wash import wash_matching_pallas
+
 j_p1 = jax.jit(p1)
 j_wash = jax.jit(db._wash_matching_scan)
+j_washk = jax.jit(wash_matching_pallas)
 j_p2 = jax.jit(p2)
+j_p2m = jax.jit(p2_merge)
 j_full = jax.jit(lambda a, b, c, d: db.yearly_activity_from_emission(
     a, b, c, d, n_years=years))
 j_replay = jax.jit(db.replay_trades)
@@ -52,7 +64,9 @@ for label, fn, args in (
         ("replay", j_replay, tj),
         ("pass1", j_p1, (bq, sm, price)),
         ("wash", j_wash, (loss1, sm, bq)),
-        ("pass2", j_p2, (bq, sm, price)),
+        ("wash_pallas", j_washk, (loss1, sm, bq)),
+        ("pass2_banded", j_p2, (bq, sm, price)),
+        ("pass2_merge", j_p2m, (bq, sm, price)),
         ("full", j_full, tj)):
     out = fn(*args)
     jax.tree.map(np.asarray, out)     # compile + drain
