@@ -39,14 +39,18 @@ _LANES = 128
 _ROW_BUDGET = 8192
 
 
-def _pick_day_block(sim_days: int, max_off_pad: int) -> int | None:
-    """Largest divisor of sim_days that is a multiple of 8 and keeps the
-    working tile (day_block + max_off_pad rows) within budget."""
-    best = None
-    for db in range(8, sim_days + 1, 8):
-        if sim_days % db == 0 and db + max_off_pad <= _ROW_BUDGET:
-            best = db
-    return best
+def _plan_blocks(sim_days: int, max_off_pad: int) -> tuple[int, int]:
+    """(day_block, n_blocks) minimizing the block count: fewest programs
+    and fewest lookahead-tail re-reads. day_block is a multiple of 8 with
+    day_block + max_off_pad rows within the VMEM budget; the padded
+    output length n_blocks * day_block >= sim_days is sliced by callers
+    (e.g. 30y windows run 2 blocks of 3784 instead of 3 divisor-locked
+    blocks of 2520)."""
+    for nb in range(1, sim_days // 8 + 2):
+        db = -(-(-(-sim_days // nb)) // 8) * 8     # ceil8(ceil(S / nb))
+        if db + max_off_pad <= _ROW_BUDGET:
+            return db, nb
+    raise AssertionError("unreachable: fits_vmem guards entry")
 
 
 def fits_vmem(T: int, sim_days: int, itemsize: int = 4) -> bool:
@@ -129,17 +133,11 @@ def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
             f"window offset range {max_off} days exceeds the VMEM row "
             f"budget ({_ROW_BUDGET}); shrink the random-start buffer or "
             f"use the XLA shift-select path")
-    # Day blocks must be multiples of 8 dividing the output length; when
-    # sim_days has no such divisor (e.g. 756), window a padded length
-    # instead and slice the tail off — padded rows only ever produce
-    # garbage beyond sim_days (shifts <= max_off never pull padding into
-    # valid rows).
-    S_pad = -(-sim_days // 8) * 8
-    day_block = _pick_day_block(S_pad, max_off_pad)
-    while day_block is None:
-        S_pad += 8
-        day_block = _pick_day_block(S_pad, max_off_pad)
-    n_blocks = S_pad // day_block
+    # Fewest-blocks plan over a padded output length (sliced below);
+    # padded rows only ever produce garbage beyond sim_days (shifts
+    # <= max_off never pull padding into valid rows).
+    day_block, n_blocks = _plan_blocks(sim_days, max_off_pad)
+    S_pad = n_blocks * day_block
 
     # Pad T so the last tail slice is in bounds:
     # n_blocks*day_block + max_off_pad = S_pad + max_off_pad.

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from letf_tpu import config as cfg
@@ -192,6 +193,46 @@ def simulate_regime_paths_batched(model: SimModel, keys, start_regime,
     return jnp.moveaxis(path, 0, 1).astype(jnp.int32)   # [B, T]
 
 
+_MIX_M1 = np.uint32(0x85EBCA6B)
+_MIX_M2 = np.uint32(0xC2B2AE35)
+_MIX_GOLD = np.uint32(0x9E3779B9)
+_MIX_CTR = np.uint32(0x7FEB352D)
+
+
+def _mix_u32(x):
+    """murmur3 finalizer on uint32 — full avalanche bijection (the same
+    mixer the Pallas kernels use for their in-kernel counter RNG,
+    ops/pallas_joint.py:_mix)."""
+    x = x ^ (x >> np.uint32(16))
+    x = x * _MIX_M1
+    x = x ^ (x >> np.uint32(13))
+    x = x * _MIX_M2
+    x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def counter_uniforms(keys, n: int):
+    """[B] per-trial threefry keys -> [B, n] f32 uniforms in (0, 1) via
+    the murmur counter expansion (key words hashed with a counter, top 24
+    bits + half-ulp offset).
+
+    Key derivation stays on the threefry fold_in chain (ops/rng.py), so
+    the stream discipline — per-(trial, purpose) keys, replay from
+    (seed, trial_id), antithetic pairs sharing draws — is unchanged; only
+    the per-counter EXPANSION is the cheap mixer. Motivation: a vmapped
+    jax.random.uniform over [B] keys measured ~38 ms for [16384, 315]
+    draws on v5e (dominating the whole regime stage); this expansion is
+    ~1000x cheaper and is the construction the production Pallas kernels
+    already rely on for every joint/stress/TE draw."""
+    w = jax.random.key_data(keys).astype(jnp.uint32)          # [B, 2]
+    lane = _mix_u32(w[..., 0] * _MIX_GOLD ^ w[..., 1])        # [B]
+    ctr = jnp.arange(n, dtype=jnp.uint32) * _MIX_CTR          # [n]
+    bits = _mix_u32(_mix_u32(lane[:, None] ^ ctr[None, :]))
+    return ((bits >> np.uint32(8)).astype(jnp.float32)
+            * jnp.float32(1.0 / 16777216.0)
+            + jnp.float32(0.5 / 16777216.0))
+
+
 def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
                                 total_days: int,
                                 max_spells: int | None = None):
@@ -218,7 +259,9 @@ def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
         max_spells = max(64, total_days // 12)
     K = max_spells
 
-    u = jax.vmap(lambda k: jax.random.uniform(k, (K,)))(keys)   # [B, K]
+    # Counter-expanded uniforms: the vmapped threefry draw here measured
+    # ~38 ms for [16384, 315] on v5e — it WAS the regime stage's cost.
+    u = counter_uniforms(keys, K)                               # [B, K]
 
     dwell_cdf = jnp.asarray(reg.dwell_cdf)
     dwell_val = jnp.asarray(reg.dwell_values)
