@@ -226,12 +226,17 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         _ids_u = pltpu.bitcast(ids_ref[0], jnp.uint32)
         _lane_key = _mix(_ids_u * _GOLD ^ _s0)
 
-    def body(d, _):
+    def day(d, first: bool):
+        """One day step, with the day-0 case STATICALLY specialized:
+        `first` is a Python bool, so the first=False body (every day but
+        one) carries none of the day-0 blend ops (the old traced ff/nf
+        scalars cost ~200 tile-ops/day across 19 strategies' equity/
+        running-max/prev-allocation day-0 selects), and the first=True
+        body constant-folds most of the strategy section away. The two
+        variants are dispatched per day by scalar pl.when branches in
+        `body` below — the false region's vector ops are skipped at
+        runtime, not masked."""
         t = j * day_block + d
-        first = (j == 0) & (d == 0)
-        # 0/1 f32 scalars (scalar select, stays in SREGs).
-        ff = jnp.float32(1.0) * first.astype(jnp.float32)
-        nf = 1.0 - ff
 
         def ch(name):
             return ch_refs[_CI[name]][0, d]
@@ -279,19 +284,20 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
 
             su = jnp.uint32(1) * t.astype(jnp.uint32)
             day_key = _mix(_lane_key ^ (su * _DAY_PRIME) ^ _s1)
-            firstf_c = jnp.float32(1.0) * first.astype(jnp.float32)
 
             liq = state[_C_LIQ]
             cred = state[_C_CRED]
             n_liq, n_cred = _normals(day_key, _STRESS_IDX, 2)
             (u_jump,) = _uniforms(day_key, _STRESS_IDX + 4, 1)
             lmu, cmu = g2(LIQ_MU), g2(CRED_MU)
-            liq_n = jnp.clip(lmu + g2(LIQ_PHI) * (liq - lmu)
-                             + g2(LIQ_SIG) * n_liq, 0.0, 3.0)
-            cred_n = jnp.clip(cmu + g2(CRED_PHI) * (cred - cmu)
-                              + g2(CRED_SIG) * n_cred, 0.0, 3.0)
-            liq_n = lmu * firstf_c + liq_n * (1.0 - firstf_c)
-            cred_n = cmu * firstf_c + cred_n * (1.0 - firstf_c)
+            if first:
+                liq_n, cred_n = lmu, cmu
+                jump_on = jnp.zeros_like(vix)
+            else:
+                liq_n = jnp.clip(lmu + g2(LIQ_PHI) * (liq - lmu)
+                                 + g2(LIQ_SIG) * n_liq, 0.0, 3.0)
+                cred_n = jnp.clip(cmu + g2(CRED_PHI) * (cred - cmu)
+                                  + g2(CRED_SIG) * n_cred, 0.0, 3.0)
             vix_amp = jnp.maximum((vix - 25.0) / 30.0, 0.0)
             pjump = jnp.clip(g2(JP_BASE) + 0.008 * vix_amp + 0.003 * liq_n,
                              0.0, 0.01)
@@ -301,8 +307,8 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             # ops/pallas_compose.py — the two kernels must stay
             # draw-identical for the slab parity gate).
             t5 = _t_polar(day_key, _STRESS_IDX + 2, 5.0)
-            jump_on = ((u_jump < pjump).astype(jnp.float32)
-                       * (1.0 - firstf_c))
+            if not first:
+                jump_on = (u_jump < pjump).astype(jnp.float32)
             signed_jump = jump_on * t5 * g2(JP_SCALE)
             spy_a = jnp.clip(spy_w - signed_jump, -0.95, 3.0)
             qqq_a = jnp.clip(qqq_w - 1.12 * signed_jump, -0.95, 4.0)
@@ -351,9 +357,11 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
                            + 0.98 * (1.0 - negu)))
                 innov_te = (t_a * ap_ref[C_TE_SCALE, a] * vix_mult
                             * regime_mult)
-                te_n = (ap_ref[C_RHO, a] * state[_C_TE + a]
-                        + ap_ref[C_SQ, a] * innov_te * move)
-                te_n = te_n * (1.0 - firstf_c)
+                if first:
+                    te_n = jnp.zeros_like(und)
+                else:
+                    te_n = (ap_ref[C_RHO, a] * state[_C_TE + a]
+                            + ap_ref[C_SQ, a] * innov_te * move)
                 bias_n = (_EMA_ALPHA * te_n
                           + (1.0 - _EMA_ALPHA) * state[_C_BIAS + a])
                 cap = ap_ref[C_CLIP, a]
@@ -392,9 +400,10 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
 
         if fused_signals or fused_compose:
             # ---- in-kernel rolling signals (today's values) ----
-            nft = jnp.full_like(r_spy, nf)
-            price = (_bsel(nft, state[_PSIG], jnp.full_like(r_spy, 100.0))
-                     * (1.0 + r_spy))
+            if first:
+                price = jnp.full_like(r_spy, 100.0) * (1.0 + r_spy)
+            else:
+                price = state[_PSIG] * (1.0 + r_spy)
             x = r_tqqq
             neg = jnp.minimum(x, 0.0)
 
@@ -436,7 +445,8 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             p1_200 = upd(_P1_200, price, p200, 200)
             # RSI deltas: delta[0] = 0 by construction, so the element
             # leaving at t == 14 is 0 and ring subtraction starts at 15.
-            delta = _bsel(nft, price - state[_PSIG], jnp.zeros_like(price))
+            delta = (jnp.zeros_like(price) if first
+                     else price - state[_PSIG])
             sub_d = leave(15) * (p14 - p15)
             g1_14 = upd(_G1_14, jnp.maximum(delta, 0.0),
                         jnp.maximum(sub_d, 0.0), 0)
@@ -508,23 +518,26 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             pa_new[i] = pa[i]
 
         # ---- S4/S5 SMA state machines ----
-        sma1 = prev("sma200_mp1")
-        buy4 = _f(pp >= sma1)                    # NaN-safe: NaN -> 0
-        sell4 = _f(pp < sma1)
         pos4 = state[_POS4]
-        in4 = _f(pos4 == 1.0)
-        new4 = _asel(in4, 1.0 - sell4, buy4)     # finite operands
-        new4 = _asel(jnp.full_like(new4, ff), pos4, new4)
-        flip4 = _f(new4 != pos4)
-
-        thresh5 = sma1 * (1.0 - 0.02)
-        buy5 = _f(pp >= thresh5)
-        sell5 = _f(pp < thresh5)
         pos5 = state[_POS5]
-        in5 = _f(pos5 == 1.0)
-        new5 = _asel(in5, 1.0 - sell5, buy5)
-        new5 = _asel(jnp.full_like(new5, ff), pos5, new5)
-        flip5 = _f(new5 != pos5)
+        if first:
+            new4, new5 = pos4, pos5
+            flip4 = jnp.zeros_like(pos4)
+            flip5 = flip4
+        else:
+            sma1 = prev("sma200_mp1")
+            buy4 = _f(pp >= sma1)                # NaN-safe: NaN -> 0
+            sell4 = _f(pp < sma1)
+            in4 = _f(pos4 == 1.0)
+            new4 = _asel(in4, 1.0 - sell4, buy4)     # finite operands
+            flip4 = _f(new4 != pos4)
+
+            thresh5 = sma1 * (1.0 - 0.02)
+            buy5 = _f(pp >= thresh5)
+            sell5 = _f(pp < thresh5)
+            in5 = _f(pos5 == 1.0)
+            new5 = _asel(in5, 1.0 - sell5, buy5)
+            flip5 = _f(new5 != pos5)
 
         sma_cost = ((SP0 + (SP1 - SP0) * reg) / 10000.0
                     + RCPD * TQQQ_LEV * jnp.abs(r_tqqq))
@@ -568,20 +581,20 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             do_cost = jnp.zeros_like(tot_turn)
         total_after = _asel(do_cost, total6 * (1.0 - tot_turn * RCPD),
                             total6)
-        s6p0n = _asel(jnp.full_like(pg0, rebf), total_after * W6A, pg0)
-        s6p1n = _asel(jnp.full_like(pg1, rebf), total_after * W6B, pg1)
-        s6e0n = _asel(jnp.full_like(emb0, rebf), jnp.full_like(emb0, L6A),
-                      emb0)
-        s6e1n = _asel(jnp.full_like(emb1, rebf), jnp.full_like(emb1, L6B),
-                      emb1)
-        fft = jnp.full_like(pg0, ff)
-        s6p0n = _asel(fft, s6p0, s6p0n)
-        s6p1n = _asel(fft, s6p1, s6p1n)
-        s6e0n = _asel(fft, s6e0, s6e0n)
-        s6e1n = _asel(fft, s6e1, s6e1n)
-        equity6 = _asel(fft, eq[5], total_after)
+        if first:
+            s6p0n, s6p1n, s6e0n, s6e1n = s6p0, s6p1, s6e0, s6e1
+            equity6 = eq[5]
+            traded[5] = jnp.zeros_like(pg0)
+        else:
+            s6p0n = _asel(jnp.full_like(pg0, rebf), total_after * W6A, pg0)
+            s6p1n = _asel(jnp.full_like(pg1, rebf), total_after * W6B, pg1)
+            s6e0n = _asel(jnp.full_like(emb0, rebf),
+                          jnp.full_like(emb0, L6A), emb0)
+            s6e1n = _asel(jnp.full_like(emb1, rebf),
+                          jnp.full_like(emb1, L6B), emb1)
+            equity6 = total_after
+            traded[5] = jnp.full_like(pg0, rebf)
         rets[5] = jnp.zeros_like(pg0)            # placeholder
-        traded[5] = jnp.full_like(pg0, rebf * nf)
         pa_new[5] = pa[5]
 
         def vol_family(i, alloc, include_cash=True,
@@ -609,21 +622,23 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         pa_new[6] = pos7
 
         # ---- S8 composite regime (TQQQ / SPY / cash; NO costs) ----
-        sma8 = prev("sma200")
-        rsi8 = prev("rsi14")
-        sc = (_f(pp > sma8) + _f((rsi8 > 40.0) & (rsi8 < 80.0))
-              + _f(vix_prev < 25.0))
-        target8 = _asel(_f(sc == 3.0), jnp.full_like(sc, _POS_RISKY),
-                        _asel(_f(sc == 2.0), jnp.full_like(sc, _POS_SAFE),
-                              jnp.full_like(sc, _POS_CASH)))
-        ret8 = _asel(_f(target8 == _POS_RISKY), r_tqqq,
-                     _asel(_f(target8 == _POS_SAFE), r_spy, cashr))
         pos8 = state[_POS8]
-        switch8 = _f(target8 != pos8) * nf
-        target8 = _asel(jnp.full_like(target8, ff), pos8, target8)
-        ret8 = ret8 * nf
-        rets[7] = ret8
-        traded[7] = switch8
+        if first:
+            target8 = pos8
+            rets[7] = jnp.zeros_like(pos8)
+            traded[7] = jnp.zeros_like(pos8)
+        else:
+            sma8 = prev("sma200")
+            rsi8 = prev("rsi14")
+            sc = (_f(pp > sma8) + _f((rsi8 > 40.0) & (rsi8 < 80.0))
+                  + _f(vix_prev < 25.0))
+            target8 = _asel(_f(sc == 3.0), jnp.full_like(sc, _POS_RISKY),
+                            _asel(_f(sc == 2.0),
+                                  jnp.full_like(sc, _POS_SAFE),
+                                  jnp.full_like(sc, _POS_CASH)))
+            rets[7] = _asel(_f(target8 == _POS_RISKY), r_tqqq,
+                            _asel(_f(target8 == _POS_SAFE), r_spy, cashr))
+            traded[7] = _f(target8 != pos8)
         pa_new[7] = pa[7]
 
         # ---- S9 adaptive vol target (skips NaN days entirely) ----
@@ -788,8 +803,10 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         # ---- combine ----
         eq_new = [None] * NS
         for i in range(NS):
-            r_i = rets[i] if i < 3 else rets[i] * nf   # day-0 quirk
-            eq_new[i] = eq[i] * (1.0 + r_i)
+            if first and i >= 3:
+                eq_new[i] = eq[i]        # day-0 quirk: loop strategies idle
+            else:
+                eq_new[i] = eq[i] * (1.0 + rets[i])
         eq_new[5] = equity6
         # Cashflow overlay + ruin floor. The floor applies even with no
         # cashflows (equity can go below zero when a levered daily loss
@@ -804,14 +821,19 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         s6p1n = s6p1n * s6_scale
 
         for i in range(NS):
-            tr_i = traded[i] * nf
+            if first:
+                # Day 0: no trades, running max = equity, drawdown 0,
+                # prev allocation keeps its init — only EQ/RM move.
+                state[_RM + i] = eq_new[i]
+                state[_EQ + i] = eq_new[i]
+                continue
+            tr_i = traded[i]
             if i == 5:
                 tr_i = tr_i * 2.0
             state[_TR + i] = state[_TR + i] + tr_i
 
             rm = state[_RM + i]
-            rm_new = _asel(jnp.full_like(rm, ff), eq_new[i],
-                           jnp.maximum(rm, eq_new[i]))
+            rm_new = jnp.maximum(rm, eq_new[i])
             denom = jnp.maximum(rm_new, 1e-30)
             safe_rm = _asel(_f(rm_new > 0.0), denom,
                             jnp.full_like(rm_new, 1.0))
@@ -819,11 +841,12 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             state[_DD + i] = jnp.maximum(state[_DD + i], -dd)
             state[_RM + i] = rm_new
             state[_EQ + i] = eq_new[i]
-            state[_PA + i] = _asel(jnp.full_like(rm, ff), pa[i], pa_new[i])
+            state[_PA + i] = pa_new[i]
 
-        state[_POS4] = _asel(jnp.full_like(new4, ff), pos4, new4)
-        state[_POS5] = _asel(jnp.full_like(new5, ff), pos5, new5)
-        state[_POS8] = target8          # already day-0 blended
+        if not first:
+            state[_POS4] = new4
+            state[_POS5] = new5
+            state[_POS8] = target8
         state[_S6P0] = s6p0n
         state[_S6P1] = s6p1n
         state[_S6E0] = s6e0n
@@ -841,6 +864,18 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         else:
             for i in range(_NSIG):
                 state[_PSIG + i] = ch_refs[7 + i][0, d]
+
+    def body(d, _):
+        is0 = (j == 0) & (d == 0)
+
+        @pl.when(is0)
+        def _():
+            day(d, True)
+
+        @pl.when(jnp.logical_not(is0))
+        def _():
+            day(d, False)
+
         return 0
 
     jax.lax.fori_loop(0, day_block, body, 0)
