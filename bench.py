@@ -185,10 +185,11 @@ def bench_distribution(platform: str):
 
 def bench_exact_tax(platform: str):
     """Exact post-tax for EVERY trial at the 30y horizon (VERDICT r2 weak
-    #5): one driver-timed chunk of 4096 trials x 30y through trade
-    emission + the banded-frontier FIFO bridge + vectorized netting for
-    ALL 13 taxable strategies, extrapolated to 1M trials. The reference
-    caps exact tax at 50 sampled trials per strategy and interpolates."""
+    #5): one driver-timed chunk through trade emission + the
+    merged-coordinate FIFO bridge (sort-based O(S log S) pass 2, Pallas
+    wash matching) + vectorized netting for ALL 13 taxable strategies,
+    extrapolated to 1M trials. The reference caps exact tax at 50
+    sampled trials per strategy and interpolates."""
     if platform == "cpu":
         return {"ran": False, "reason": "TPU-scale measurement"}
 

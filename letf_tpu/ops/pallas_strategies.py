@@ -95,8 +95,11 @@ _C_BIAS = _C_TE + 6          # 6 rows: per-asset EMA de-bias state
 _C_JC = _C_BIAS + 6          # jump-day count
 _C_LS = _C_JC + 1            # liquidity sum
 _C_CS = _C_LS + 1            # credit sum
-_C_FIN = _C_CS + 1           # 1.0 while every etf return so far is finite
-NSTATE_COMPOSE = _C_FIN + 1
+_C_FIN = _C_CS + 1           # 1.0 while every etf/tlt/vix value is finite
+_C_VMIN = _C_FIN + 1         # running VIX min (validity gate)
+_C_VMAX = _C_VMIN + 1        # running VIX max
+_C_RHI = _C_VMAX + 1         # regime-1 day count
+NSTATE_COMPOSE = _C_RHI + 1
 # Ring capacities (powers of two > the largest lag they serve).
 _RW_X, _RW_SPY, _RW_P, _RW_S20 = 64, 128, 256, 8
 SQ252 = 15.874507866387544           # sqrt(252)
@@ -216,6 +219,8 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             for i in range(NSTATE_FUSED, NSTATE_COMPOSE):
                 state[i] = zeros
             state[_C_FIN] = zeros + 1.0
+            state[_C_VMIN] = zeros + jnp.inf
+            state[_C_VMAX] = zeros - jnp.inf
 
     if fused_compose:
         from letf_tpu.ops.pallas_compose import _DAY_PRIME
@@ -267,6 +272,16 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             vix = ch_refs[3][0, d]
             irx = ch_refs[4][0, d]
             reg = ch_refs[5][0, d]                  # 0/1 f32
+
+            # Validity summaries, accumulated in-kernel (the channels are
+            # already in VMEM — the old post-kernel XLA reductions paid
+            # 4 extra HBM passes over the windowed slabs): VIX range for
+            # the reference's layer gate (engine.py:206-231), tlt/vix
+            # finiteness folded into the path-finite flag below, and the
+            # regime-1 day count.
+            state[_C_VMIN] = jnp.minimum(state[_C_VMIN], vix)
+            state[_C_VMAX] = jnp.maximum(state[_C_VMAX], vix)
+            state[_C_RHI] = state[_C_RHI] + reg
 
             def SPr(i):
                 return sp_ref[i, 0], sp_ref[i, 1]
@@ -343,7 +358,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             needed = sorted({consts["idx_tqqq"], consts["idx_spy"],
                              consts["idx_sso"], consts["idx_tmf"]})
             etf_all = {}
-            fin_day = jnp.ones_like(vix)
+            fin_day = _f(jnp.isfinite(tlt_w)) * _f(jnp.isfinite(vix))
             for a in needed:
                 und = streams[und_idx[a]] * ap_ref[C_BETA, a]
                 lev = ap_ref[C_LEV, a]
@@ -888,13 +903,15 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             out_ref[0, NS + i] = state[_TR + i]
             out_ref[0, 2 * NS + i] = state[_DD + i]
         if fused_compose:
-            # rows 57-60: etf-finite flag, jump count, liq sum, cred sum
+            # rows 57-63: path-finite flag (etf+tlt+vix), jump count,
+            # liq sum, cred sum, vix min, vix max, regime-1 days
             out_ref[0, 3 * NS] = state[_C_FIN]
             out_ref[0, 3 * NS + 1] = state[_C_JC]
             out_ref[0, 3 * NS + 2] = state[_C_LS]
             out_ref[0, 3 * NS + 3] = state[_C_CS]
-            for i in range(3 * NS + 4, 64):
-                out_ref[0, i] = zeros
+            out_ref[0, 3 * NS + 4] = state[_C_VMIN]
+            out_ref[0, 3 * NS + 5] = state[_C_VMAX]
+            out_ref[0, 3 * NS + 6] = state[_C_RHI]
         else:
             for i in range(3 * NS, 64):
                 out_ref[0, i] = zeros
@@ -1011,7 +1028,10 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     (regime as f32 0/1); base_ids [B] int32; seed_words [2] int32;
     sp/ap the compose parameter tables.
     Returns (final_wealth [B, NS], num_trades, max_dd,
-    etf_finite [B] bool, jump_days [B] int32, liq_sum [B], cred_sum [B]).
+    path_finite [B] bool (etf + tlt + vix all finite), jump_days [B]
+    int32, liq_sum [B], cred_sum [B], vix_min [B], vix_max [B],
+    regime_high_days [B] int32) — the validity reductions are
+    accumulated in-kernel instead of re-reading the windowed slabs.
     """
     G, S, sub, _ = spy.shape
     B = G * sub * _LANES
@@ -1062,12 +1082,15 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     final_wealth = flat[:, :NS]
     num_trades = flat[:, NS:2 * NS].astype(jnp.int32)
     max_dd = flat[:, 2 * NS:3 * NS]
-    etf_finite = flat[:, 3 * NS] > 0.5
+    path_finite = flat[:, 3 * NS] > 0.5       # etf + tlt + vix all finite
     jump_days = flat[:, 3 * NS + 1].astype(jnp.int32)
     liq_sum = flat[:, 3 * NS + 2]
     cred_sum = flat[:, 3 * NS + 3]
-    return (final_wealth, num_trades, max_dd, etf_finite, jump_days,
-            liq_sum, cred_sum)
+    vix_min = flat[:, 3 * NS + 4]
+    vix_max = flat[:, 3 * NS + 5]
+    regime_high = flat[:, 3 * NS + 6].astype(jnp.int32)
+    return (final_wealth, num_trades, max_dd, path_finite, jump_days,
+            liq_sum, cred_sum, vix_min, vix_max, regime_high)
 
 
 def channels_from(path, sig):

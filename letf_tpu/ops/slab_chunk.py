@@ -39,11 +39,6 @@ from letf_tpu.ops.path_engine import _to_device
 _LANES = 128
 
 
-def _trial_flat(a):
-    """[G, 8, 128] per-trial reduction output -> [B] (trial order)."""
-    return a.reshape(-1)
-
-
 @functools.partial(jax.jit, static_argnames=(
     "sim_days", "buffer_days", "random_start_method", "apply_costs",
     "moment_matching"))
@@ -122,24 +117,20 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     # The six etf return tensors, the cash series, and all 16 signals
     # never exist in HBM; the per-day repair pass (bound + zero
     # non-finite returns) and the etf-finiteness flag run in-kernel. ----
-    fw, nt, mdd, etf_finite, jc, ls, cs = pallas_compose_strategies_run(
+    (fw, nt, mdd, path_finite, jc, ls, cs, vix_min, vix_max,
+     regime_high) = pallas_compose_strategies_run(
         _pack_stress_params(model), _pack_asset_params(model),
         ids32, seed_words, spy, qqq, tlt, vix_slab, irx_slab, regime_slab,
         sim_days=sim_days, cashflows=cashflows, apply_costs=apply_costs)
 
-    # ---- validity flags (twin of path_batched._finish_path) ----
-    finite_pre = (etf_finite
-                  & _trial_flat(jnp.all(jnp.isfinite(tlt), axis=1)
-                                & jnp.all(jnp.isfinite(vix_slab), axis=1)))
-    vix_ok = _trial_flat(jnp.all(jnp.isfinite(vix_slab), axis=1)
-                         & (vix_slab.min(axis=1) >= 5.0)
-                         & (vix_slab.max(axis=1) <= 120.0))
-    valid_pre = finite_pre & vix_ok
+    # ---- validity flags (twin of path_batched._finish_path), from the
+    # kernel's in-chip accumulators — no post-kernel slab re-reads.
+    # vix_ok needs no explicit isfinite: a NaN poisons the running
+    # min/max (compares false), +-inf fails the bounds. ----
+    vix_ok = (vix_min >= 5.0) & (vix_max <= 120.0)
+    valid_pre = path_finite & vix_ok
     repaired = ~valid_pre
     valid = vix_ok
-
-    regime_high = _trial_flat(
-        jnp.sum(regime_slab == 1.0, axis=1).astype(jnp.int32))
     out = dict(
         final_wealth=fw, num_trades=nt, max_dd=mdd,
         valid=valid, repaired=repaired,

@@ -80,11 +80,11 @@ def _zero_drift_median_pallas(key, leverage: float, daily_std: float,
 
         zs = slab(z)
         const = lambda v: jnp.full((G, n_days, sub, 128), v, jnp.float32)  # noqa: E731
-        fw, _, _, _, _, _, _ = pallas_compose_strategies_run(
+        fw = pallas_compose_strategies_run(
             _pack_stress_params(model), _pack_asset_params(model),
             jnp.arange(B, dtype=jnp.int32), jnp.zeros(2, jnp.int32),
             zs, zs, zs, const(20.0), const(0.0), const(0.0),
-            sim_days=n_days, apply_costs=False)
+            sim_days=n_days, apply_costs=False)[0]
         return jnp.median(fw[:, 0] / cfg.INITIAL_CAPITAL - 1.0)
 
     return float(run(key, n_days))

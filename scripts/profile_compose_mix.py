@@ -48,9 +48,9 @@ def run(seed):
             (G, SIM, sub, 128), jnp.float32)
         spy = jax.lax.optimization_barrier(spy)
         ids = ci * B + jnp.arange(B, dtype=jnp.int32)
-        fw, nt, mdd, fin, jc, ls, cs = pallas_compose_strategies_run(
+        fw = pallas_compose_strategies_run(
             sp, ap, ids, seed_words, spy, qqq, tlt, vix, irx, regime,
-            sim_days=SIM, cashflows=None, apply_costs=True)
+            sim_days=SIM, cashflows=None, apply_costs=True)[0]
         return acc + jnp.sum(fw[:, 0]), ()
     acc, _ = jax.lax.scan(body, jnp.float32(0.0),
                           jnp.arange(K, dtype=jnp.int32))

@@ -73,22 +73,17 @@ def chunk_to(stage: int, ci):
     if stage == 3:
         return sum(w[0, 0].sum() for w in win)
 
-    fw, nt, mdd, etf_finite, jc, ls, cs = pallas_compose_strategies_run(
+    (fw, nt, mdd, path_finite, jc, ls, cs, vix_min, vix_max,
+     regime_high) = pallas_compose_strategies_run(
         _pack_stress_params(model), _pack_asset_params(model),
         ids32, seed_words, spy, qqq, tlt, vix_slab, irx_slab, regime_slab,
         sim_days=SIM, cashflows=None, apply_costs=True)
     if stage == 4:
         return jnp.sum(fw)
 
-    finite_pre = (etf_finite
-                  & (jnp.all(jnp.isfinite(tlt), axis=1)
-                     & jnp.all(jnp.isfinite(vix_slab), axis=1)).reshape(-1))
-    vix_ok = (jnp.all(jnp.isfinite(vix_slab), axis=1)
-              & (vix_slab.min(axis=1) >= 5.0)
-              & (vix_slab.max(axis=1) <= 120.0)).reshape(-1)
-    regime_high = jnp.sum(regime_slab == 1.0, axis=1).astype(jnp.int32)
+    vix_ok = (vix_min >= 5.0) & (vix_max <= 120.0)
     return (jnp.sum(fw) + jnp.sum(nt) + jnp.sum(mdd)
-            + jnp.sum(vix_ok) + jnp.sum(finite_pre)
+            + jnp.sum(vix_ok) + jnp.sum(path_finite)
             + jnp.sum(regime_high).astype(jnp.float32))
 
 

@@ -469,9 +469,16 @@ def test_pallas_compose_strategies_fused_interpret():
     fw0, nt0, mdd0 = pallas_strategies_run(
         chs, apply_costs=True, layout="slab", fused_signals=True,
         interpret=True)
-    fw1, nt1, mdd1, fin, jd, l1, c1 = pallas_compose_strategies_run(
+    (fw1, nt1, mdd1, fin, jd, l1, c1, vmin, vmax,
+     rhi) = pallas_compose_strategies_run(
         sp, ap, ids, seed, spy, qqq, tlt, vix, irx, regime, sim_days=S,
         apply_costs=True, interpret=True)
+    # In-kernel validity summaries match the direct slab reductions.
+    np.testing.assert_array_equal(np.asarray(vmin),
+                                  np.full(B, 22.0, np.float32))
+    np.testing.assert_array_equal(np.asarray(vmax),
+                                  np.full(B, 22.0, np.float32))
+    np.testing.assert_array_equal(np.asarray(rhi), np.zeros(B, np.int32))
     np.testing.assert_allclose(np.asarray(fw1), np.asarray(fw0),
                                rtol=1e-5, atol=0.05)
     np.testing.assert_array_equal(np.asarray(nt1), np.asarray(nt0))
