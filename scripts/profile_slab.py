@@ -25,7 +25,6 @@ from letf_tpu.models.params import default_sim_model
 from letf_tpu.ops import path_batched as pb
 from letf_tpu.ops.pallas_compose import _pack_asset_params, _pack_stress_params
 from letf_tpu.ops.pallas_joint import _pack_params, pallas_joint_generate
-from letf_tpu.ops.pallas_strategies import pallas_compose_strategies_run
 from letf_tpu.ops.pallas_window import window_offsets_slab
 from letf_tpu.ops.path_engine import _to_device
 from letf_tpu.ops.slab_chunk import slab_chunk_summaries

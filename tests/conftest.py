@@ -33,3 +33,25 @@ _CACHE_DIR = "/tmp/letf_tpu_jax_cache_cpu"
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Release JIT code mappings between modules. Every compiled XLA:CPU
+# executable holds ~9 small anonymous mappings (4-16 KB LLVM code pages);
+# a full-suite process accumulates 45k+ mappings and the next LARGE
+# compile/deserialize (the [B=3] vmapped path-engine fixture, ~96 tests
+# in) blows vm.max_map_count (65530) — mmap fails and XLA segfaults
+# (deterministic at that test in a full run, unreproducible in any
+# subset; maps counted via /proc/self/maps). clear_caches() + gc drops
+# dead executables and returns the count to baseline; the persistent
+# compile cache makes the cross-module recompiles cheap.
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_map_pressure():
+    yield
+    jax.clear_caches()
+    gc.collect()
