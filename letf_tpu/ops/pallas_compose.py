@@ -291,7 +291,7 @@ def _pack_asset_params(model):
                                     "use_funding", "layout", "interpret"))
 def pallas_compose_generate(sp, ap, base_ids, seed_words,
                             spy, qqq, tlt, vix, irx, regime,
-                            sim_days: int, day_block: int = 64,
+                            sim_days: int, day_block: int | None = None,
                             use_stress: bool = True,
                             use_funding: bool = True,
                             layout: str = "bs",
@@ -321,8 +321,8 @@ def pallas_compose_generate(sp, ap, base_ids, seed_words,
         ins = [slab(spy), slab(qqq), slab(tlt), slab(vix), slab(irx),
                slab(regime, jnp.int8)]
     und_key = tuple(int(i) for i in cfg.asset_table().underlying)
-    while sim_days % day_block != 0:
-        day_block //= 2
+    from letf_tpu.ops.pallas_strategies import _pick_day_block
+    day_block = _pick_day_block(sim_days, 15, _SUB, day_block)  # 6 in + 9 out
     NB = sim_days // day_block
 
     ids = base_ids.astype(jnp.int32).reshape(G, _SUB, _LANES)

@@ -105,6 +105,24 @@ _RW_X, _RW_SPY, _RW_P, _RW_S20 = 64, 128, 256, 8
 SQ252 = 15.874507866387544           # sqrt(252)
 
 
+def _pick_day_block(S: int, n_streams: int, sub: int,
+                    requested: int | None = None) -> int:
+    """Largest divisor of S whose streamed working set (n_streams
+    double-buffered [day_block, sub, 128] f32 blocks) fits an ~8 MB VMEM
+    budget. Grid programs carry fixed DMA/bookkeeping cost: the old
+    halving fallback collapsed to day_block=8 for any S = 8 * odd (every
+    30y horizon: 7560 = 8 * 945), running 15k programs per chunk where
+    ~960 suffice; trading-day horizons are highly composite, so a
+    near-cap divisor always exists (e.g. 168 | 7560, 2520, 504).
+    An explicit ``requested`` acts as an additional cap."""
+    budget = 8 * 1024 * 1024
+    cap = max(1, budget // (n_streams * sub * _LANES * 4 * 2))
+    if requested is not None:
+        cap = min(cap, requested)
+    cap = min(cap, S)
+    return max(d for d in range(1, cap + 1) if S % d == 0)
+
+
 def _f(mask):
     """bool tile -> 0/1 f32 mask (NaN compares are already False)."""
     return mask.astype(jnp.float32)
@@ -937,7 +955,8 @@ def _consts():
                                              "interpret", "sub", "layout",
                                              "fused_signals"))
 def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
-                          day_block: int = 8, interpret: bool = False,
+                          day_block: int | None = None,
+                          interpret: bool = False,
                           sub: int = 0, layout: str = "bs",
                           fused_signals: bool = False):
     """channels: [NCH] list/tuple of [B, S] f32 arrays in CHANNELS order —
@@ -966,10 +985,9 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
                     .transpose(0, 3, 1, 2))
 
         ins = [slab(a) for a in channels]
-    while S % day_block != 0:
-        day_block //= 2
-    NB = S // day_block
     n_ch = 7 if fused_signals else NCH
+    day_block = _pick_day_block(S, n_ch, sub, day_block)
+    NB = S // day_block
     assert len(ins) == n_ch, (len(ins), n_ch)
     has_cf = cashflows is not None
     cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
@@ -1016,7 +1034,7 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
                                   spy, qqq, tlt, vix, irx, regime,
                                   sim_days: int, cashflows=None,
                                   apply_costs: bool = True,
-                                  day_block: int = 8,
+                                  day_block: int | None = None,
                                   interpret: bool = False):
     """ONE kernel from windowed market slabs to strategy summaries:
     stress + jumps + funding + leverage/TE composition
@@ -1035,8 +1053,7 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     """
     G, S, sub, _ = spy.shape
     B = G * sub * _LANES
-    while S % day_block != 0:
-        day_block //= 2
+    day_block = _pick_day_block(S, 6, sub, day_block)
     NB = S // day_block
     has_cf = cashflows is not None
     cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
