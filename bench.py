@@ -270,7 +270,9 @@ def bench_full_engine(platform: str):
 def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/letf_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    platform = jax.devices()[0].platform
+    from letf_tpu.utils.backend import ensure_backend
+
+    platform = ensure_backend()
 
     headline = bench_headline(platform)
     parity = bench_pallas_vs_xla(platform)

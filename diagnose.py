@@ -1,7 +1,8 @@
 """Layer-by-layer pipeline diagnostic (see letf_tpu/diagnose.py)."""
 import jax
-if jax.devices()[0].platform == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+from letf_tpu.utils.backend import ensure_backend  # noqa: E402
+
+ensure_backend()
 jax.config.update("jax_compilation_cache_dir", "/tmp/letf_tpu_jax_cache")
 from letf_tpu.diagnose import diagnose_pipeline
 

@@ -43,8 +43,9 @@ def main(argv=None) -> None:
 
     import jax
 
-    if jax.devices()[0].platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from letf_tpu.utils.backend import ensure_backend
+
+    ensure_backend()
     jax.config.update("jax_compilation_cache_dir", "/tmp/letf_tpu_jax_cache")
 
     from letf_tpu import config as cfg

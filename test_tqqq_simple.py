@@ -10,8 +10,9 @@ os.environ.setdefault("LETF_NON_INTERACTIVE", "1")
 
 import jax  # noqa: E402
 
-if jax.devices()[0].platform == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+from letf_tpu.utils.backend import ensure_backend  # noqa: E402
+
+ensure_backend()
 jax.config.update("jax_compilation_cache_dir", "/tmp/letf_tpu_jax_cache")
 
 
