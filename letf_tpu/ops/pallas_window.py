@@ -61,13 +61,19 @@ def fits_vmem(T: int, sim_days: int, itemsize: int = 4) -> bool:
     return max_off_pad + 8 <= _ROW_BUDGET
 
 
-def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, xs_ref, *,
-                   n_levels: int, day_block: int):
+def _window_kernel(offs_ref, *refs, n_levels: int, day_block: int,
+                   has_bias: bool = False):
     """One (slab, day-block) program.
 
     offs_ref: [tiles, 128] int32 per-trial offsets (full array in VMEM)
+    refs (has_bias=False): body_ref, tail_ref, out_ref, xs_ref
+    refs (has_bias=True):  bias_ref, body_ref, tail_ref, out_ref, xs_ref
     body_ref: [1, day_block, 128] aligned day block
     tail_ref: [1, 1, max_off_pad, 128] lookahead rows following the block
+    bias_ref: [tiles, 128] f32 per-lane bias ADDED to the windowed output
+              (the slab pipeline's moment-matching nudge rides the
+              DMA-bound output store instead of a separate XLA pass;
+              window(x) + b is bitwise (x + b) windowed)
     out_ref:  [1, day_block, 128] windowed output
     xs_ref:   [rows, 128] int32 VMEM scratch (working tile)
 
@@ -88,6 +94,10 @@ def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, xs_ref, *,
     off_min + day_block <= rows - max residual by construction
     (rows = day_block + max_off_pad >= day_block + offs for every lane).
     """
+    if has_bias:
+        bias_ref, body_ref, tail_ref, out_ref, xs_ref = refs
+    else:
+        body_ref, tail_ref, out_ref, xs_ref = refs
     g = pl.program_id(0)
     n_tiles = offs_ref.shape[0]
     rows = xs_ref.shape[0]
@@ -106,11 +116,14 @@ def _window_kernel(offs_ref, body_ref, tail_ref, out_ref, xs_ref, *,
             mask = -((res >> k) & 1)              # 0 or all-ones, per lane
             rolled = pltpu.roll(x, rows - shift, 0)
             xs_ref[...] = (rolled & mask[None, :]) | (x & ~mask[None, :])
-    out_ref[0] = pltpu.bitcast(
-        xs_ref[pl.dslice(off_min, day_block)], jnp.float32)
+    win = pltpu.bitcast(xs_ref[pl.dslice(off_min, day_block)], jnp.float32)
+    if has_bias:
+        win = win + bias_ref[g % n_tiles, :][None, :]
+    out_ref[0] = win
 
 
-def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
+def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool,
+                  bias_rows=None):
     """Core shift-select windowing over pre-tiled planes.
 
     slabs: [H, T, 128] f32 (trial lanes last); offs_rows: [H', 128] int32
@@ -151,44 +164,57 @@ def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool):
         [slabs[:, (j + 1) * day_block:(j + 1) * day_block + max_off_pad]
          for j in range(n_blocks)], axis=1)   # [H, n_blocks, max_off_pad, 128]
 
+    has_bias = bias_rows is not None
     kernel = functools.partial(_window_kernel, n_levels=n_levels,
-                               day_block=day_block)
+                               day_block=day_block, has_bias=has_bias)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]   # offs: full array
+    ins = [offs_rows]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias rows
+        ins.append(bias_rows.astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, max_off_pad, _LANES),
+                     lambda g, j: (g, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     return pl.pallas_call(
         kernel,
         grid=(H, n_blocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # offs: full array
-            pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, max_off_pad, _LANES),
-                         lambda g, j: (g, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, day_block, _LANES), lambda g, j: (g, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, S_pad, _LANES), slabs.dtype),
         scratch_shapes=[pltpu.VMEM((day_block + max_off_pad, _LANES),
                                    jnp.int32)],
         interpret=interpret,
-    )(offs_rows, body, tails)[:, :sim_days]
+    )(*ins, body, tails)[:, :sim_days]
 
 
 @functools.partial(jax.jit, static_argnames=("sim_days", "interpret"))
 def window_offsets_slab(x_slab, offs, sim_days: int,
-                        interpret: bool = False):
+                        interpret: bool = False, bias=None):
     """Slab-layout offset windowing: x_slab [G, T, sub, 128] f32 ->
     [G, S, sub, 128] with out[g, s, i, j] = x[g, s + offs[b], i, j] for
     trial b = g*(sub*128) + i*128 + j. Bit-identical to the gather.
+
+    ``bias`` ([G, sub, 128] f32, optional) is added per lane to the
+    windowed output inside the kernel — bitwise equal to windowing
+    (x + bias) but without materializing the adjusted slab (the slab
+    pipeline's moment-matching nudge, ops/slab_chunk.py).
 
     One (T <-> sublane) transpose on each side of the tiled kernel; the
     lane axis stays contiguous, so both transposes run near bandwidth."""
     G, T, sub, _ = x_slab.shape
     assert x_slab.dtype == jnp.float32, x_slab.dtype
     if T == sim_days:
-        return x_slab
+        return x_slab if bias is None else x_slab + bias[:, None]
     xt = x_slab.transpose(0, 2, 1, 3).reshape(G * sub, T, _LANES)
     offs_rows = offs.astype(jnp.int32).reshape(G * sub, _LANES)
-    out = _window_tiles(xt, offs_rows, sim_days, interpret)
+    bias_rows = (None if bias is None
+                 else bias.reshape(G * sub, _LANES))
+    out = _window_tiles(xt, offs_rows, sim_days, interpret, bias_rows)
     return (out.reshape(G, sub, sim_days, _LANES)
             .transpose(0, 2, 1, 3))
 

@@ -97,20 +97,28 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
         _pack_params(model), jnp.asarray(model.joint.chi_cheb, jnp.float32),
         innov.regime_full, ids32, signs, seed_words, T, layout="slab",
         sub=sub)
+    # Moment matching as a per-lane BIAS added inside the window kernel's
+    # output store (bitwise equal to adjusting the full slab first —
+    # window(x) + b == window(x + b) elementwise — without materializing
+    # three adjusted [G, T, sub, 128] slabs in HBM).
+    biases = [None, None, None]
     if moment_matching:
         theo = jnp.asarray(model.joint.theo_mean, jnp.float32)
-        x0 = x0 + (theo[0] - x0.mean(axis=1, keepdims=True)) * 0.1
-        x1 = x1 + (theo[1] - x1.mean(axis=1, keepdims=True)) * 0.1
-        x2 = x2 + (theo[2] - x2.mean(axis=1, keepdims=True)) * 0.1
+        biases = [(theo[c] - xc.mean(axis=1)) * 0.1
+                  for c, xc in enumerate((x0, x1, x2))]
 
     if buffer_days > 0:
         offs = innov.start_offset
-        win = [window_offsets_slab(c, offs, sim_days)
-               for c in (x0, x1, x2, vix_full, irx_full,
-                         reg_full_slab.astype(jnp.float32))]
+        win = [window_offsets_slab(c, offs, sim_days, bias=b)
+               for c, b in ((x0, biases[0]), (x1, biases[1]),
+                            (x2, biases[2]), (vix_full, None),
+                            (irx_full, None),
+                            (reg_full_slab.astype(jnp.float32), None))]
         spy, qqq, tlt, vix_slab, irx_slab, regime_slab = win
     else:
-        spy, qqq, tlt, vix_slab, irx_slab = x0, x1, x2, vix_full, irx_full
+        spy, qqq, tlt = (c if b is None else c + b[:, None]
+                         for c, b in zip((x0, x1, x2), biases))
+        vix_slab, irx_slab = vix_full, irx_full
         regime_slab = reg_full_slab.astype(jnp.float32)
 
     # ---- stress + costs + TE + signals + strategies: ONE kernel.

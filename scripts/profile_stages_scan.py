@@ -57,18 +57,19 @@ def chunk_to(stage: int, ci):
         innov.regime_full, ids32, signs, seed_words, T, layout="slab",
         sub=sub)
     theo = jnp.asarray(model.joint.theo_mean, jnp.float32)
-    x0 = x0 + (theo[0] - x0.mean(axis=1, keepdims=True)) * 0.1
-    x1 = x1 + (theo[1] - x1.mean(axis=1, keepdims=True)) * 0.1
-    x2 = x2 + (theo[2] - x2.mean(axis=1, keepdims=True)) * 0.1
+    biases = [(theo[c] - xc.mean(axis=1)) * 0.1
+              for c, xc in enumerate((x0, x1, x2))]
     if stage == 2:
         return (x0[0, 0].sum() + x1[0, 0].sum() + x2[0, 0].sum()
                 + vix_full[0, 0].sum() + irx_full[0, 0].sum()
-                + reg_slab[0, 0].astype(jnp.float32).sum())
+                + reg_slab[0, 0].astype(jnp.float32).sum()
+                + sum(b.sum() for b in biases))
 
     offs = innov.start_offset
-    win = [window_offsets_slab(c, offs, SIM)
-           for c in (x0, x1, x2, vix_full, irx_full,
-                     reg_slab.astype(jnp.float32))]
+    win = [window_offsets_slab(c, offs, SIM, bias=b)
+           for c, b in ((x0, biases[0]), (x1, biases[1]), (x2, biases[2]),
+                        (vix_full, None), (irx_full, None),
+                        (reg_slab.astype(jnp.float32), None))]
     spy, qqq, tlt, vix_slab, irx_slab, regime_slab = win
     if stage == 3:
         return sum(w[0, 0].sum() for w in win)

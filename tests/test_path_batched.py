@@ -384,6 +384,14 @@ def test_window_offsets_slab_interpret_exact():
     got_b = np.asarray(got).transpose(0, 2, 3, 1).reshape(B, S)
     np.testing.assert_array_equal(ref, got_b)
 
+    # Per-lane bias rides the output store: bitwise window(x) + b.
+    bias = jax.random.normal(jax.random.key(7), (G, 8, 128), jnp.float32)
+    got2 = window_offsets_slab(x, jnp.asarray(offs), S, interpret=True,
+                               bias=bias)
+    bias_b = np.asarray(bias).reshape(G * 8 * 128)           # [B]
+    got2_b = np.asarray(got2).transpose(0, 2, 3, 1).reshape(B, S)
+    np.testing.assert_array_equal(ref + bias_b[:, None], got2_b)
+
 
 @pytest.mark.skipif(jax.devices()[0].platform != "tpu",
                     reason="slab chunk composes TPU-only kernels")
