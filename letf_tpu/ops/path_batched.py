@@ -233,6 +233,55 @@ def counter_uniforms(keys, n: int):
             + jnp.float32(0.5 / 16777216.0))
 
 
+def plan_max_spells(model: SimModel, total_days: int,
+                    sigmas: float = 8.0) -> int:
+    """Static spell-count bound for simulate_regime_paths_spell, computed
+    HOST-SIDE from a concrete model (call before jit; the dwell tables
+    are traced inside).
+
+    The spell path's cost is dominated by the [B, K, nb] / [B, K, W]
+    one-hot builds, linear in K; the default K = T/12 is sized for a
+    pathological 12-day mean spell. With the model's actual dwell
+    means/variances, the smallest n with n*mu_pair - sigmas*
+    sqrt(n*var_pair) >= T bounds the pair count at ~Phi(-sigmas)
+    (~6e-16/trial at 8 sigma) overflow probability — overflowing trials
+    keep their final regime, the same documented fallback as the
+    default. Clamped to [64, default] and rounded up to a multiple of 8."""
+    import numpy as np_
+
+    reg = model.regime
+    default = max(64, total_days // 12)
+    means, variances = [], []
+    for r in range(2):
+        if float(np_.asarray(reg.has_dwell)[r]) > 0:
+            cdf = np_.asarray(reg.dwell_cdf)[r].astype(np_.float64)
+            val = np_.asarray(reg.dwell_values)[r].astype(np_.float64)
+            p = np_.diff(cdf, prepend=0.0)
+            p = np_.clip(p, 0.0, None)
+            tot = p.sum()
+            if tot <= 0:
+                return default
+            p /= tot
+            m = float((p * val).sum())
+            v = float((p * val * val).sum() - m * m)
+        else:
+            ps = float(np_.asarray(reg.p_stay)[r])
+            ps = min(max(ps, 0.0), 1.0 - 1e-9)
+            m = 1.0 / (1.0 - ps)
+            v = ps / (1.0 - ps) ** 2
+        means.append(max(m, 1.0))
+        variances.append(max(v, 0.0))
+    mu_p = means[0] + means[1]
+    var_p = variances[0] + variances[1]
+    x = (sigmas * var_p ** 0.5
+         + (sigmas * sigmas * var_p + 4.0 * mu_p * total_days) ** 0.5
+         ) / (2.0 * mu_p)
+    n_pairs = int(x * x) + 1
+    k = 2 * n_pairs + 2
+    k = min(max(64, -(-k // 8) * 8), default)
+    return k
+
+
 def simulate_regime_paths_spell(model: SimModel, keys, start_regime,
                                 total_days: int,
                                 max_spells: int | None = None):
@@ -363,11 +412,13 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
                           random_start_method: str = "offset",
                           anchors=None,
                           joint_draws: bool = True,
-                          aux_draws: bool = True) -> Innovations:
+                          aux_draws: bool = True,
+                          max_spells: int | None = None) -> Innovations:
     """Production innovation draws: same streams-per-(trial, purpose)
     discipline and identical distributions, using the fast samplers and the
     batched regime scan. Antithetic pairs still share trial keys and negate
-    the joint normals only."""
+    the joint normals only. ``max_spells`` (static) bounds the spell-path
+    draw count — see plan_max_spells."""
     from letf_tpu.ops import rng as rngs
 
     model = _to_device(model)
@@ -412,7 +463,8 @@ def draw_innovations_fast(model: SimModel, run_key, trial_ids, antithetic,
         initial_vix = jnp.asarray(anchors[1])[idx]
 
     regime_full = simulate_regime_paths_spell(
-        model, streams(rngs.REGIME), start_regime, total_days)
+        model, streams(rngs.REGIME), start_regime, total_days,
+        max_spells=max_spells)
 
     if not joint_draws:
         # Joint/VIX/IRX innovations are produced INSIDE the Pallas joint
@@ -945,7 +997,8 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
                            use_stress: bool = True,
                            fast_draws: bool = True,
                            anchors=None,
-                           joint_kernel: str = "auto") -> PathOutputs:
+                           joint_kernel: str = "auto",
+                           max_spells: int | None = None) -> PathOutputs:
     """Lane-packed batch path generation (institutional_v1 mode).
 
     fast_draws=True uses the cheap exact samplers (distribution-equivalent
@@ -996,7 +1049,8 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
                                       sim_days, buffer_days,
                                       random_start_method, anchors=anchors,
                                       joint_draws=False,
-                                      aux_draws=not compose_will_run)
+                                      aux_draws=not compose_will_run,
+                                      max_spells=max_spells)
         total_days = sim_days + buffer_days
         seed_words = jax.lax.bitcast_convert_type(
             jax.random.key_data(run_key).reshape(-1)[:2], jnp.int32)
@@ -1019,7 +1073,8 @@ def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,
 
     innov = draw_innovations_fast(model, run_key, trial_ids, antithetic,
                                   sim_days, buffer_days,
-                                  random_start_method, anchors=anchors)
+                                  random_start_method, anchors=anchors,
+                                  max_spells=max_spells)
     return path_from_innovations_batched(
         model, innov, sim_days, moment_matching=moment_matching,
         use_funding_model=use_funding_model, use_stress=use_stress)

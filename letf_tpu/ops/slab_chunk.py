@@ -41,13 +41,14 @@ _LANES = 128
 
 @functools.partial(jax.jit, static_argnames=(
     "sim_days", "buffer_days", "random_start_method", "apply_costs",
-    "moment_matching"))
+    "moment_matching", "max_spells"))
 def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
                          sim_days: int, buffer_days: int = 0,
                          random_start_method: str = "offset",
                          anchors=None, cashflows=None,
                          apply_costs: bool = True,
-                         moment_matching: bool = True):
+                         moment_matching: bool = True,
+                         max_spells: int | None = None):
     """One fused production chunk (institutional_v1, stress + funding on):
     returns the summaries dict of _mc_chunk_body. B must be a multiple of
     1024; f32 TPU only (the kernels have no CPU lowering)."""
@@ -86,7 +87,7 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     innov = pb.draw_innovations_fast(
         model, run_key, trial_ids, antithetic, sim_days, buffer_days,
         random_start_method, anchors=anchors, joint_draws=False,
-        aux_draws=False)
+        aux_draws=False, max_spells=max_spells)
 
     seed_words = jax.lax.bitcast_convert_type(
         jax.random.key_data(run_key).reshape(-1)[:2], jnp.int32)

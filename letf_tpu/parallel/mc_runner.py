@@ -62,7 +62,8 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
                    apply_costs: bool = True, emit_trades: bool = False,
                    moment_matching: bool = True,
                    engine_mode: str = "institutional_v1",
-                   bootstrap_pools=None, cashflows=None, anchors=None):
+                   bootstrap_pools=None, cashflows=None, anchors=None,
+                   max_spells: int | None = None):
     """One fused chunk: paths -> signals -> strategies -> summaries."""
     if (engine_mode == "institutional_v1" and not emit_trades
             and jax.default_backend() == "tpu"
@@ -78,7 +79,7 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
             buffer_days=buffer_days,
             random_start_method=random_start_method, anchors=anchors,
             cashflows=cashflows, apply_costs=apply_costs,
-            moment_matching=moment_matching)
+            moment_matching=moment_matching, max_spells=max_spells)
         return summaries, None
     if engine_mode == "institutional_v1":
         # Lane-packed batched engine: state as [B] components — the
@@ -88,7 +89,8 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
         path = generate_paths_batched(
             model, run_key, trial_ids, antithetic, sim_days=sim_days,
             buffer_days=buffer_days, random_start_method=random_start_method,
-            moment_matching=moment_matching, anchors=anchors)
+            moment_matching=moment_matching, anchors=anchors,
+            max_spells=max_spells)
     else:
         fn = functools.partial(
             generate_path, sim_days=sim_days, buffer_days=buffer_days,
@@ -117,13 +119,14 @@ _mc_chunk = jax.jit(
     _mc_chunk_body,
     static_argnames=("sim_days", "buffer_days", "random_start_method",
                      "apply_costs", "emit_trades", "moment_matching",
-                     "engine_mode"))
+                     "engine_mode", "max_spells"))
 
 
 @functools.lru_cache(maxsize=16)
 def _sharded_chunk(mesh, sim_days: int, buffer_days: int,
                    random_start_method: str, apply_costs: bool,
-                   moment_matching: bool, engine_mode: str = "institutional_v1"):
+                   moment_matching: bool, engine_mode: str = "institutional_v1",
+                   max_spells: int | None = None):
     """SPMD chunk over the trial mesh: each device runs the full engine on
     its local slice of trials; model, key, and bootstrap pools are
     replicated; only summary tensors cross devices (at the final host
@@ -137,7 +140,7 @@ def _sharded_chunk(mesh, sim_days: int, buffer_days: int,
             random_start_method=random_start_method, apply_costs=apply_costs,
             emit_trades=False, moment_matching=moment_matching,
             engine_mode=engine_mode, bootstrap_pools=pools,
-            cashflows=cashflows, anchors=anchors)
+            cashflows=cashflows, anchors=anchors, max_spells=max_spells)
         return summaries
 
     # check_vma=False: scan carries start replicated (e.g. start_regime=0)
@@ -231,7 +234,8 @@ def _dispatch_guarded(run, label: str, timeout: Optional[float],
 def _resident_superchunk(mesh, n_chunks: int, chunk_size: int, sim_days: int,
                          buffer_days: int, random_start_method: str,
                          apply_costs: bool, moment_matching: bool,
-                         engine_mode: str, use_antithetic: bool):
+                         engine_mode: str, use_antithetic: bool,
+                         max_spells: int | None = None):
     """``n_chunks`` trial chunks in ONE dispatch: a device-side lax.scan
     over trial blocks, so the per-chunk host round-trips (dispatch RTT +
     argument upload through the tunneled TPU, measured ~0.25 s/chunk on
@@ -267,7 +271,8 @@ def _resident_superchunk(mesh, n_chunks: int, chunk_size: int, sim_days: int,
                 random_start_method=random_start_method,
                 apply_costs=apply_costs, emit_trades=False,
                 moment_matching=moment_matching, engine_mode=engine_mode,
-                bootstrap_pools=pools, cashflows=cashflows, anchors=anchors)
+                bootstrap_pools=pools, cashflows=cashflows, anchors=anchors,
+                max_spells=max_spells)
             return carry, s
 
         _, stacked = jax.lax.scan(step, 0, jnp.arange(K, dtype=jnp.int32))
@@ -383,6 +388,17 @@ def run_monte_carlo(
     n_dev = mesh.devices.size
     sharding = trial_sharding(mesh)
 
+    # Static spell-count bound for the regime spell path, computed from
+    # the CONCRETE model's dwell tables (must happen before the model is
+    # traced into jit; see path_batched.plan_max_spells). Falls back to
+    # the conservative default on any non-concrete field.
+    try:
+        from letf_tpu.ops.path_batched import plan_max_spells
+
+        max_spells = plan_max_spells(model, sim_days + buffer_days)
+    except Exception:  # noqa: BLE001 — sizing hint only, never fatal
+        max_spells = None
+
     if chunk_size is None:
         chunk_size = min(cfg.DEVICE_CHUNK_TRIALS,
                          pad_to_multiple(num_simulations, n_dev))
@@ -406,7 +422,7 @@ def run_monte_carlo(
     if n_dev > 1:
         chunk_fn = _sharded_chunk(mesh, sim_days, buffer_days,
                                   random_start_method, apply_costs, True,
-                                  engine_mode)
+                                  engine_mode, max_spells)
     else:
         chunk_fn = None
 
@@ -472,7 +488,7 @@ def run_monte_carlo(
                 fn = _resident_superchunk(
                     mesh, k, chunk_size, sim_days, buffer_days,
                     random_start_method, apply_costs, True, engine_mode,
-                    bool(use_antithetic))
+                    bool(use_antithetic), max_spells)
                 summaries = fn(model, key, jnp.int32(n_done),
                                bootstrap_pools, cashflows, anchors)
                 fetches.append((pool.submit(
@@ -515,7 +531,7 @@ def run_monte_carlo(
                         random_start_method=random_start_method,
                         apply_costs=apply_costs, engine_mode=engine_mode,
                         bootstrap_pools=bootstrap_pools, cashflows=cashflows,
-                        anchors=anchors)
+                        anchors=anchors, max_spells=max_spells)
                 if fault_tolerant:
                     # Materialize inside the guard: runtime backend errors
                     # and hangs only surface at the host fetch.
@@ -697,6 +713,12 @@ def monte_carlo_report(
     if chunks_per_dispatch is None:
         chunks_per_dispatch = 16 if jax.default_backend() == "tpu" else 4
 
+    try:
+        from letf_tpu.ops.path_batched import plan_max_spells
+
+        max_spells = plan_max_spells(model, sim_days + buffer_days)
+    except Exception:  # noqa: BLE001 — sizing hint only, never fatal
+        max_spells = None
     model = jax.tree.map(jnp.asarray, model)
     if cashflows is not None:
         cashflows = jnp.asarray(cashflows)
@@ -716,7 +738,7 @@ def monte_carlo_report(
         fn = _resident_superchunk(
             mesh, k, chunk_size, sim_days, buffer_days,
             random_start_method, apply_costs, True, engine_mode,
-            bool(use_antithetic))
+            bool(use_antithetic), max_spells)
         groups.append(fn(model, key, jnp.int32(n_done), None, cashflows,
                          anchors))
         n_done += k * chunk_size

@@ -167,6 +167,26 @@ def test_spell_regime_paths_match_scan_distribution(model):
     assert (sp[:, 0] == 0).all()
 
 
+def test_plan_max_spells_bitwise(model):
+    """The model-derived static spell bound (plan_max_spells) must leave
+    regime paths bitwise unchanged: spell draws are counter-indexed, so
+    any K that covers the horizon yields identical paths."""
+    from letf_tpu.ops import path_batched as pb
+    from letf_tpu.ops import rng as rngs
+
+    B, T = 512, 2520
+    k_planned = pb.plan_max_spells(model, T)
+    assert 64 <= k_planned <= max(64, T // 12)
+    keys = jax.vmap(
+        lambda t: rngs.stream(rngs.trial_key(jax.random.key(3), t),
+                              rngs.REGIME))(jnp.arange(B))
+    start = (jnp.arange(B) % 2).astype(jnp.int32)
+    a = pb.simulate_regime_paths_spell(model, keys, start, T)
+    b = pb.simulate_regime_paths_spell(model, keys, start, T,
+                                       max_spells=k_planned)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_joint_kernel_interpret():
     """The counter-based joint kernel is pure arithmetic (no TPU PRNG), so
     interpret mode runs on CPU: checks output shapes, finiteness, VIX floor,
