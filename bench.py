@@ -92,19 +92,21 @@ def bench_pallas_vs_xla(platform: str):
 def _time_full_chunk(model, B: int, years: int, n_rep: int = 2):
     """One production chunk: offset random start (5y buffer), all 19
     strategies. Returns seconds per chunk."""
+    from letf_tpu.ops.path_batched import plan_max_spells
     from letf_tpu.parallel.mc_runner import _mc_chunk
 
     sim_days = years * 252
     buffer_days = 1260
     ids = jnp.arange(B, dtype=jnp.int32) // 2
     anti = (jnp.arange(B) % 2).astype(bool)
+    max_spells = plan_max_spells(model, sim_days + buffer_days)
 
     @jax.jit
     def chunk_scalar(seed_key):
         summaries, _ = _mc_chunk(model, seed_key, ids, anti,
                                  sim_days, buffer_days,
                                  random_start_method="offset",
-                                 apply_costs=True)
+                                 apply_costs=True, max_spells=max_spells)
         # Reduce on device: in production the per-chunk summaries stay in
         # HBM until the final percentile fan; fetching [B, 19] through the
         # tunneled dev TPU costs ~170 ms and would misattribute transfer
