@@ -322,7 +322,8 @@ def pallas_compose_generate(sp, ap, base_ids, seed_words,
                slab(regime, jnp.int8)]
     und_key = tuple(int(i) for i in cfg.asset_table().underlying)
     from letf_tpu.ops.pallas_strategies import _pick_day_block
-    day_block = _pick_day_block(sim_days, 15, _SUB, day_block)  # 6 in + 9 out
+    day_block = _pick_day_block(sim_days, 15, _SUB, day_block,  # 6 in + 9 out
+                                scratch_rows=18 + 8)
     NB = sim_days // day_block
 
     ids = base_ids.astype(jnp.int32).reshape(G, _SUB, _LANES)

@@ -106,17 +106,22 @@ SQ252 = 15.874507866387544           # sqrt(252)
 
 
 def _pick_day_block(S: int, n_streams: int, sub: int,
-                    requested: int | None = None) -> int:
+                    requested: int | None = None,
+                    scratch_rows: int = 0) -> int:
     """Largest divisor of S whose streamed working set (n_streams
-    double-buffered [day_block, sub, 128] f32 blocks) fits an ~8 MB VMEM
-    budget. Grid programs carry fixed DMA/bookkeeping cost: the old
-    halving fallback collapsed to day_block=8 for any S = 8 * odd (every
-    30y horizon: 7560 = 8 * 945), running 15k programs per chunk where
-    ~960 suffice; trading-day horizons are highly composite, so a
-    near-cap divisor always exists (e.g. 168 | 7560, 2520, 504).
-    An explicit ``requested`` acts as an additional cap."""
-    budget = 8 * 1024 * 1024
-    cap = max(1, budget // (n_streams * sub * _LANES * 4 * 2))
+    double-buffered [day_block, sub, 128] f32 blocks) fits the VMEM left
+    over after ``scratch_rows`` of persistent [sub, 128] f32 scratch
+    (state + signal rings — at sub=32 the rings alone are ~7 MB, so the
+    stream budget must shrink with the scratch, not be a constant).
+    Grid programs carry fixed DMA/bookkeeping cost: the old halving
+    fallback collapsed to day_block=8 for any S = 8 * odd (every 30y
+    horizon: 7560 = 8 * 945), running 15k programs per chunk where ~1k
+    suffice; trading-day horizons are highly composite, so a near-cap
+    divisor always exists (168 | 7560, 2520, 504). An explicit
+    ``requested`` acts as an additional cap."""
+    row_bytes = sub * _LANES * 4
+    budget = 12 * 1024 * 1024 - scratch_rows * row_bytes
+    cap = max(1, budget // (n_streams * row_bytes * 2))
     if requested is not None:
         cap = min(cap, requested)
     cap = min(cap, S)
@@ -986,7 +991,9 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
 
         ins = [slab(a) for a in channels]
     n_ch = 7 if fused_signals else NCH
-    day_block = _pick_day_block(S, n_ch, sub, day_block)
+    _rings = (_RW_X + _RW_SPY + _RW_P + _RW_S20) if fused_signals else 0
+    _scr = (NSTATE_FUSED if fused_signals else NSTATE) + _rings + 64
+    day_block = _pick_day_block(S, n_ch, sub, day_block, scratch_rows=_scr)
     NB = S // day_block
     assert len(ins) == n_ch, (len(ins), n_ch)
     has_cf = cashflows is not None
@@ -1053,7 +1060,8 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     """
     G, S, sub, _ = spy.shape
     B = G * sub * _LANES
-    day_block = _pick_day_block(S, 6, sub, day_block)
+    _scr = NSTATE_COMPOSE + _RW_X + _RW_SPY + _RW_P + _RW_S20 + 64
+    day_block = _pick_day_block(S, 6, sub, day_block, scratch_rows=_scr)
     NB = S // day_block
     has_cf = cashflows is not None
     cf = (jnp.asarray(cashflows, jnp.float32) if has_cf

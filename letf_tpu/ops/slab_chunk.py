@@ -37,6 +37,7 @@ from letf_tpu.models.params import SimModel
 from letf_tpu.ops.path_engine import _to_device
 
 _LANES = 128
+_FORCE_SUB = None            # profiling hook (scripts/profile_sub_sweep.py)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -67,7 +68,9 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     # Sublane height of the trial tiles: tallest of 32/16/8 dividing B/128.
     # The serial day loops are per-op latency dominated at (8, 128); taller
     # tiles give every VPU op 2-4 independent sub-tiles to overlap.
-    sub = next(h for h in (32, 16, 8) if B % (h * _LANES) == 0)
+    # (_FORCE_SUB is a profiling hook — scripts/profile_sub_sweep.py.)
+    sub = _FORCE_SUB or next(h for h in (32, 16, 8)
+                             if B % (h * _LANES) == 0)
     T = sim_days + buffer_days
 
     # Sort trial lanes by start offset so each 128-lane plane of the
