@@ -12,13 +12,13 @@ t0 = time.perf_counter()
 monte_carlo_report(model, 30, num_simulations=1_048_576, seed=2,
                    chunk_size=16384, chunks_per_dispatch=16)
 print(f"warm (incl compile): {time.perf_counter()-t0:.1f} s", flush=True)
-for i in range(2):
+for cpd in (16, 16, 32, 64):
     t0 = time.perf_counter()
     rep = monte_carlo_report(model, 30, num_simulations=1_048_576, seed=2,
-                             chunk_size=16384, chunks_per_dispatch=16)
+                             chunk_size=16384, chunks_per_dispatch=cpd)
     dt = time.perf_counter() - t0
-    print(f"1M x 30y report: {dt:.1f} s ({1_048_576*7560/dt/1e6:.0f}M pd/s)",
-          flush=True)
+    print(f"1M x 30y report (cpd={cpd}): {dt:.1f} s "
+          f"({1_048_576*7560/dt/1e6:.0f}M pd/s)", flush=True)
 s1 = rep["strategies"]["S1"]
 print("S1 p50 wealth:", round(s1["wealth"]["p50"], 2),
       "p90 cagr:", round(s1["cagr"]["p90"], 4),
