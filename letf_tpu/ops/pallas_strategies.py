@@ -133,8 +133,18 @@ def _f(mask):
     return mask.astype(jnp.float32)
 
 
+_ASEL_FMA = False            # perf experiment hook (profile_sub_sweep.py)
+
+
 def _asel(m, a, b):
-    """Arithmetic select for FINITE operands: m*a + (1-m)*b."""
+    """Arithmetic select for FINITE operands: m*a + (1-m)*b.
+
+    The FMA form b + m*(a-b) is 2 VPU ops instead of up to 4; it is
+    ulp-DIFFERENT (reassociation), so it ships only if the hardware
+    sweep shows a real win AND the parity gates hold — toggle via
+    _ASEL_FMA at trace time (clear jit caches after flipping)."""
+    if _ASEL_FMA:
+        return b + m * (a - b)
     return m * a + (1.0 - m) * b
 
 

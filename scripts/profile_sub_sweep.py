@@ -67,3 +67,29 @@ for sub_h in (8, 16, 32):
         print(f"sub={sub_h:2d}: FAILED {type(e).__name__}: {e}", flush=True)
     finally:
         mod._FORCE_SUB = None
+
+# _asel FMA-form experiment at the default geometry: 2 VPU ops per
+# arithmetic select instead of up to 4 (~50 selects/day in the fused
+# kernel). ulp-different — ships only if the win is real and parity
+# gates hold.
+import letf_tpu.ops.pallas_strategies as ps  # noqa: E402
+
+ps._ASEL_FMA = True
+orig.clear_cache()
+try:
+    s = orig(model, key, ids, anti, sim_days=SIM, buffer_days=BUF,
+             random_start_method="offset")
+    fw_fma = float(jnp.sum(s["final_wealth"]))
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = orig(model, key, ids, anti, sim_days=SIM, buffer_days=BUF,
+                 random_start_method="offset")
+        float(jnp.sum(s["final_wealth"]))
+        best = min(best, time.perf_counter() - t0)
+    print(f"asel-fma: {best * 1e3:7.1f} ms/chunk  (sum {fw_fma:.6g})",
+          flush=True)
+except Exception as e:  # noqa: BLE001
+    print(f"asel-fma: FAILED {type(e).__name__}: {e}", flush=True)
+finally:
+    ps._ASEL_FMA = False
