@@ -52,7 +52,8 @@ def _yearly_activity_from_trades(trades: List[Dict],
     for t in trades:
         wash_tracker.record_trade(
             asset=t["asset"], day=t["day_index"], action=t["action"],
-            shares=t.get("shares", t["dollar_amount"] / t["price"]),
+            shares=(t["shares"] if "shares" in t
+                    else t["dollar_amount"] / t["price"]),
             price=t["price"])
     wash_tracker.process_all_wash_sales()
 
@@ -88,7 +89,8 @@ def _yearly_activity_from_trades(trades: List[Dict],
         asset = trade["asset"]
 
         if trade["action"] == "BUY":
-            shares = trade.get("shares", trade["dollar_amount"] / trade["price"])
+            shares = (trade["shares"] if "shares" in trade
+                      else trade["dollar_amount"] / trade["price"])
             base_cost = shares * trade["price"]
             basis_adj = wash_tracker.get_basis_adjustment(asset, trade["day_index"])
             adjusted_cost = base_cost + basis_adj
@@ -107,7 +109,8 @@ def _yearly_activity_from_trades(trades: List[Dict],
             })
 
         elif trade["action"] == "SELL":
-            shares_to_sell = trade.get("shares", trade["dollar_amount"] / trade["price"])
+            shares_to_sell = (trade["shares"] if "shares" in trade
+                              else trade["dollar_amount"] / trade["price"])
             sale_price = trade["price"]
             sale_day = trade["day_index"]
 

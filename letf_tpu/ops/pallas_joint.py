@@ -44,6 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SUB, _LANES = 8, 128
 TILE = _SUB * _LANES          # trials per grid program
+# Hoist the six per-day normals out of the serial day loop: they are pure
+# functions of (lane, day), so each grid program computes the WHOLE day
+# block's draws in one vectorized pass ([day_block, sub, 128] ops instead
+# of day_block serial [sub, 128] ops) into VMEM scratch, and the
+# recurrence loop just reads them back. Bitwise-identical values (same
+# elementwise instructions); costs 6 scratch rows per block day, so the
+# day block shrinks ~2/3 (see cap in pallas_joint_generate).
+_HOIST_DRAWS = True
 _TWO_PI = 2.0 * math.pi
 _GOLD = np.uint32(0x9E3779B9)
 _M1 = np.uint32(0x85EBCA6B)
@@ -85,7 +93,7 @@ def _six_normals(day_key):
 
 def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
                   regime_ref, x0_ref, x1_ref, x2_ref, vix_ref, irx_ref,
-                  state, *, day_block: int, n_blocks: int, n_cheb: int,
+                  state, *extra, day_block: int, n_blocks: int, n_cheb: int,
                   sub: int = _SUB):
     """One (tile, day-block) program.
 
@@ -97,7 +105,10 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
     regime_ref: [1, day_block, 8, 128] int8 regime path block
     x*_ref/vix_ref/irx_ref: [1, day_block, 8, 128] f32 outputs
     state:      [14, 8, 128] f32 scratch carried ACROSS day blocks
+    extra:      optionally one [6 * day_block, sub, 128] f32 draw scratch
+                (hoisted-draw mode, channel-major: rows c*day_block + d)
     """
+    draws = extra[0] if extra else None
     j = pl.program_id(1)
 
     def P(i):
@@ -117,6 +128,23 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
     def _():
         state[...] = jnp.zeros((14, sub, _LANES), jnp.float32)
 
+    if draws is not None:
+        # ---- vectorized draw pass for the whole day block: identical
+        # elementwise instructions to the per-day path, so the stored
+        # values are bitwise equal — just computed at [day_block, sub,
+        # 128] granularity where the VPU pipelines instead of stalling
+        # on an 8x128 serial chain. Joint normals carry the antithetic
+        # sign here (channels 0-2); zc/vn/irxn (3-5) are unsigned. ----
+        days = (j * day_block + jax.lax.broadcasted_iota(
+            jnp.int32, (day_block, sub, _LANES), 0)).astype(jnp.uint32)
+        dkeys = _mix(lane_key[None] ^ (days * _DAY_PRIME) ^ s1)
+        blocks = _six_normals(dkeys)
+        for c in range(3):
+            draws[c * day_block:(c + 1) * day_block] = (
+                blocks[c] * anti_sign[None])
+        for c in range(3, 6):
+            draws[c * day_block:(c + 1) * day_block] = blocks[c]
+
     def body(d, _):
         (h0, h1, h2, q00, q01, q02, q11, q12, q22,
          z0, z1, z2, prev_r, vixp) = [state[i] for i in range(14)]
@@ -127,12 +155,16 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
             a, b = P(idx)
             return a + (b - a) * r                          # regime select
 
-        day = (j * day_block + d).astype(jnp.uint32)
-        day_key = _mix(lane_key ^ (day * _DAY_PRIME) ^ s1)
-        e0, e1, e2, zc, vn, irxn = _six_normals(day_key)
-        e0 = e0 * anti_sign
-        e1 = e1 * anti_sign
-        e2 = e2 * anti_sign
+        if draws is not None:
+            e0, e1, e2, zc, vn, irxn = (
+                draws[pl.ds(c * day_block + d, 1)][0] for c in range(6))
+        else:
+            day = (j * day_block + d).astype(jnp.uint32)
+            day_key = _mix(lane_key ^ (day * _DAY_PRIME) ^ s1)
+            e0, e1, e2, zc, vn, irxn = _six_normals(day_key)
+            e0 = e0 * anti_sign
+            e1 = e1 * anti_sign
+            e2 = e2 * anti_sign
 
         first = (j == 0) & (d == 0)
         firstf = jnp.float32(jnp.where(first, 1.0, 0.0))   # scalar select
@@ -263,10 +295,11 @@ def _pack_params(model):
 
 
 @functools.partial(jax.jit, static_argnames=("total_days", "day_block",
-                                             "layout", "sub"))
+                                             "layout", "sub", "interpret"))
 def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
                           seed_words, total_days: int, day_block: int = 252,
-                          layout: str = "bt", sub: int = _SUB):
+                          layout: str = "bt", sub: int = _SUB,
+                          interpret: bool = False):
     """regime_full: [B, T] int; base_ids: [B] int32 (pairs share one id);
     signs: [B] f32 +-1; seed_words: [2] int32; B a multiple of sub*128.
     Returns (x [B, T, 3], vix [B, T], irx [B, T]) in f32 — moment matching
@@ -286,7 +319,10 @@ def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
     # Day-block VMEM scales with sub (6 streamed [day_block, sub, 128]
     # planes, double-buffered): cap day_block so the working set stays at
     # the sub=8/252 budget, picking the largest divisor of total_days.
-    cap = min(day_block, max(8, (252 * 8) // sub))
+    # Hoisted-draw mode adds 6 scratch rows per block day (~10.5 stream
+    # rows/day -> 16.5), so the cap shrinks by the same ratio.
+    cap_rows = (252 * 8 * 21) // 33 if _HOIST_DRAWS else 252 * 8
+    cap = min(day_block, max(8, cap_rows // sub))
     day_block = max(d for d in range(1, cap + 1) if total_days % d == 0)
     NB = total_days // day_block
     K = cheb.shape[1]
@@ -319,8 +355,11 @@ def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
         out_shape=(shp, shp, shp, shp, shp),
-        scratch_shapes=[pltpu.VMEM((14, sub, _LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((14, sub, _LANES), jnp.float32)] + (
+            [pltpu.VMEM((6 * day_block, sub, _LANES), jnp.float32)]
+            if _HOIST_DRAWS else []),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(seed_words.astype(jnp.int32), params, cheb, ids, sgn, reg)
 
     if layout == "slab":

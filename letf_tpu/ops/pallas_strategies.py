@@ -135,6 +135,15 @@ def _f(mask):
 
 _ASEL_FMA = False            # perf experiment hook (profile_sub_sweep.py)
 
+# Hoist the fused-compose mode's per-day draws (2 stress normals, the
+# jump uniform, the stress t5, and the four TE Student-t draws) out of
+# the serial day loop: they are pure functions of (lane, day), so each
+# grid program computes the whole day block's draws in one vectorized
+# pass into VMEM scratch and the recurrence loop reads them back.
+# Bitwise-identical values; costs 8 scratch rows per block day (the
+# day-block budget accounts for it in pallas_compose_strategies_run).
+_HOIST_DRAWS = True
+
 
 def _asel(m, a, b):
     """Arithmetic select for FINITE operands: m*a + (1-m)*b.
@@ -204,6 +213,7 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
         out_ref = refs[10]
         state = refs[11]
         ring_x, ring_spy, ring_p, ring_s20 = refs[12:16]
+        draw_ref = refs[16] if len(refs) > 16 else None
     else:
         n_ch = 7 if fused_signals else NCH
         ch_refs = refs[:n_ch]
@@ -256,13 +266,43 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             state[_C_VMAX] = zeros - jnp.inf
 
     if fused_compose:
-        from letf_tpu.ops.pallas_compose import _DAY_PRIME
+        from letf_tpu.ops.pallas_compose import (
+            _DAY_PRIME,
+            _STRESS_IDX,
+            _TE_DFS,
+            _TE_IDX,
+            _normals,
+            _t_polar,
+            _uniforms,
+        )
         from letf_tpu.ops.pallas_joint import _GOLD, _mix
 
         _s0 = seed_ref[0].astype(jnp.uint32)
         _s1 = seed_ref[1].astype(jnp.uint32)
         _ids_u = pltpu.bitcast(ids_ref[0], jnp.uint32)
         _lane_key = _mix(_ids_u * _GOLD ^ _s0)
+        # Only the four assets the strategies consume (TQQQ/SPY/SSO/TMF)
+        # get TE chains — see the day body's TE section.
+        needed = sorted({consts["idx_tqqq"], consts["idx_spy"],
+                         consts["idx_sso"], consts["idx_tmf"]})
+
+        if draw_ref is not None:
+            # ---- vectorized draw pass for the whole day block (bitwise
+            # equal to the per-day computations — same elementwise
+            # instructions at [day_block, sub, 128] granularity).
+            # Channel-major rows: c*day_block + d for
+            # c in (n_liq, n_cred, u_jump, t5, t_te[needed[0..3]]). ----
+            _days = (j * day_block + jax.lax.broadcasted_iota(
+                jnp.int32, (day_block, sub, _LANES), 0)).astype(jnp.uint32)
+            _dkeys = _mix(_lane_key[None] ^ (_days * _DAY_PRIME) ^ _s1)
+            _nl, _nc = _normals(_dkeys, _STRESS_IDX, 2)
+            (_uj,) = _uniforms(_dkeys, _STRESS_IDX + 4, 1)
+            _t5 = _t_polar(_dkeys, _STRESS_IDX + 2, 5.0)
+            for c, blkv in enumerate((_nl, _nc, _uj, _t5)):
+                draw_ref[c * day_block:(c + 1) * day_block] = blkv
+            for k, a in enumerate(needed):
+                draw_ref[(4 + k) * day_block:(5 + k) * day_block] = (
+                    _t_polar(_dkeys, _TE_IDX + 2 * a, float(_TE_DFS[a])))
 
     def day(d, first: bool):
         """One day step, with the day-0 case STATICALLY specialized:
@@ -289,15 +329,10 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             # body, accumulating into LOCALS instead of etf output refs;
             # same counter-based draw streams, so results match the
             # standalone compose kernel) ----
-            from letf_tpu.ops.pallas_compose import (
-                _EMA_ALPHA,
-                _TE_DFS,
-                _normals,
-                _STRESS_IDX,
-                _t_polar,
-                _TE_IDX,
-                _uniforms,
-            )
+            from letf_tpu.ops.pallas_compose import _EMA_ALPHA
+
+            def drw(c):
+                return draw_ref[pl.ds(c * day_block + d, 1)][0]
 
             spy_w = ch_refs[0][0, d]
             qqq_w = ch_refs[1][0, d]
@@ -330,13 +365,16 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             (F_BASE, F_BVIX, F_BINV, F_BLIQ, F_BCRED, F_MIN,
              F_MAX) = range(9, 16)
 
-            su = jnp.uint32(1) * t.astype(jnp.uint32)
-            day_key = _mix(_lane_key ^ (su * _DAY_PRIME) ^ _s1)
+            if draw_ref is None:
+                su = jnp.uint32(1) * t.astype(jnp.uint32)
+                day_key = _mix(_lane_key ^ (su * _DAY_PRIME) ^ _s1)
+                n_liq, n_cred = _normals(day_key, _STRESS_IDX, 2)
+                (u_jump,) = _uniforms(day_key, _STRESS_IDX + 4, 1)
+            else:
+                n_liq, n_cred, u_jump = drw(0), drw(1), drw(2)
 
             liq = state[_C_LIQ]
             cred = state[_C_CRED]
-            n_liq, n_cred = _normals(day_key, _STRESS_IDX, 2)
-            (u_jump,) = _uniforms(day_key, _STRESS_IDX + 4, 1)
             lmu, cmu = g2(LIQ_MU), g2(CRED_MU)
             if first:
                 liq_n, cred_n = lmu, cmu
@@ -354,7 +392,8 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             # and one uniform draw per day disappears (mirrors
             # ops/pallas_compose.py — the two kernels must stay
             # draw-identical for the slab parity gate).
-            t5 = _t_polar(day_key, _STRESS_IDX + 2, 5.0)
+            t5 = (drw(3) if draw_ref is not None
+                  else _t_polar(day_key, _STRESS_IDX + 2, 5.0))
             if not first:
                 jump_on = (u_jump < pjump).astype(jnp.float32)
             signed_jump = jump_on * t5 * g2(JP_SCALE)
@@ -388,17 +427,16 @@ def _strategy_kernel(cf_ref, *refs, day_block: int, n_blocks: int,
             # (The etf-finite summary accordingly covers these four; the
             # skipped assets' returns are clips of the same finite
             # inputs, so path validity is unchanged in practice.)
-            needed = sorted({consts["idx_tqqq"], consts["idx_spy"],
-                             consts["idx_sso"], consts["idx_tmf"]})
             etf_all = {}
             fin_day = _f(jnp.isfinite(tlt_w)) * _f(jnp.isfinite(vix))
-            for a in needed:
+            for k_a, a in enumerate(needed):
                 und = streams[und_idx[a]] * ap_ref[C_BETA, a]
                 lev = ap_ref[C_LEV, a]
                 borrow = (jnp.maximum(lev - 1.0, 0.0)
                           * jnp.maximum(risk_free + spread, 0.0) / 252.0)
                 lev_ret = lev * und - ap_ref[C_ER, a] / 252.0 - borrow
-                t_a = _t_polar(day_key, _TE_IDX + 2 * a, float(_TE_DFS[a]))
+                t_a = (drw(4 + k_a) if draw_ref is not None else
+                       _t_polar(day_key, _TE_IDX + 2 * a, float(_TE_DFS[a])))
                 negu = (und < 0).astype(jnp.float32)
                 move = ((1.0 + 0.3 * jnp.abs(und))
                         * (ap_ref[C_DOWNSIDE, a] * negu
@@ -1071,7 +1109,10 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     G, S, sub, _ = spy.shape
     B = G * sub * _LANES
     _scr = NSTATE_COMPOSE + _RW_X + _RW_SPY + _RW_P + _RW_S20 + 64
-    day_block = _pick_day_block(S, 6, sub, day_block, scratch_rows=_scr)
+    # Hoisted draws cost 8 scratch rows per block day on top of the 12
+    # double-buffered stream rows: account by pretending 10 streams.
+    day_block = _pick_day_block(S, 10 if _HOIST_DRAWS else 6, sub,
+                                day_block, scratch_rows=_scr)
     NB = S // day_block
     has_cf = cashflows is not None
     cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
@@ -1091,6 +1132,8 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     scratch = [pltpu.VMEM((NSTATE_COMPOSE, sub, _LANES), jnp.float32)]
     scratch += [pltpu.VMEM((w, sub, _LANES), jnp.float32)
                 for w in (_RW_X, _RW_SPY, _RW_P, _RW_S20)]
+    if _HOIST_DRAWS:
+        scratch += [pltpu.VMEM((8 * day_block, sub, _LANES), jnp.float32)]
 
     out = pl.pallas_call(
         kernel,

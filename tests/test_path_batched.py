@@ -514,3 +514,95 @@ def test_pallas_compose_strategies_fused_interpret():
                                   np.asarray(jc).astype(np.int32))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(ls), atol=1e-5)
     assert np.asarray(fin).all()
+
+
+def test_joint_hoisted_draws_bitwise_interpret():
+    """Hoisted-draw mode (vectorized whole-day-block draw pass into VMEM
+    scratch) must reproduce the inline per-day path BITWISE: the fill
+    runs the same elementwise instructions, just at [day_block, sub, 128]
+    granularity."""
+    from letf_tpu.ops import pallas_joint as pj
+    from letf_tpu.ops.pallas_joint import _pack_params, pallas_joint_generate
+    from letf_tpu.ops.path_engine import _to_device
+
+    model = _to_device(jax.tree.map(jnp.asarray, default_sim_model()))
+    B, T = 1024, 126
+    regime = jnp.asarray(
+        (np.random.default_rng(0).random((B, T)) < 0.2).astype(np.int32))
+    ids = jnp.arange(B, dtype=jnp.int32) // 2
+    signs = jnp.where(jnp.arange(B) % 2 == 1, -1.0, 1.0).astype(jnp.float32)
+    seed = jnp.asarray([123, 456], jnp.int32)
+    params = _pack_params(model)
+    cheb = jnp.asarray(model.joint.chi_cheb, jnp.float32)
+
+    def run():
+        return pallas_joint_generate(params, cheb, regime, ids, signs,
+                                     seed, T, day_block=63, interpret=True)
+
+    saved = pj._HOIST_DRAWS
+    try:
+        pj._HOIST_DRAWS = False
+        pallas_joint_generate.clear_cache()
+        a = [np.asarray(x) for x in run()]
+        pj._HOIST_DRAWS = True
+        pallas_joint_generate.clear_cache()
+        b = [np.asarray(x) for x in run()]
+    finally:
+        pj._HOIST_DRAWS = saved
+        pallas_joint_generate.clear_cache()
+    for i, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(x, y, err_msg=f"output {i}")
+
+
+def test_fused_hoisted_draws_parity_interpret():
+    """Hoisted draws in the fused compose+strategies kernel: integer and
+    accumulator summaries (trades, jump days, liq/cred sums, VIX range,
+    regime days) must be bitwise equal to the inline path; wealth/maxdd
+    may differ by f32 ulps only (XLA compiles the t-draw transcendentals
+    shape-dependently on CPU — Box-Muller channels are bitwise)."""
+    from letf_tpu.ops import pallas_strategies as ps
+    from letf_tpu.ops.pallas_compose import (
+        _pack_asset_params,
+        _pack_stress_params,
+    )
+    from letf_tpu.ops.pallas_strategies import pallas_compose_strategies_run
+
+    model = default_sim_model()
+    G, S = 1, 126
+    B = G * 1024
+    key = jax.random.key(3)
+    spy = 0.01 * jax.random.normal(key, (G, S, 8, 128), jnp.float32)
+    qqq = 1.1 * spy
+    tlt = -0.1 * spy
+    vix = jnp.full((G, S, 8, 128), 22.0, jnp.float32) + spy * 100
+    irx = jnp.full((G, S, 8, 128), 4.0, jnp.float32)
+    regime = (spy > 0.005).astype(jnp.float32)
+    ids = jnp.arange(B, dtype=jnp.int32) // 2
+    seed = jnp.asarray([9, 11], jnp.int32)
+    sp = _pack_stress_params(model)
+    ap = _pack_asset_params(model)
+
+    def run():
+        return pallas_compose_strategies_run(
+            sp, ap, ids, seed, spy, qqq, tlt, vix, irx, regime,
+            sim_days=S, apply_costs=True, day_block=63, interpret=True)
+
+    saved = ps._HOIST_DRAWS
+    try:
+        ps._HOIST_DRAWS = False
+        pallas_compose_strategies_run.clear_cache()
+        a = [np.asarray(x) for x in run()]
+        ps._HOIST_DRAWS = True
+        pallas_compose_strategies_run.clear_cache()
+        b = [np.asarray(x) for x in run()]
+    finally:
+        ps._HOIST_DRAWS = saved
+        pallas_compose_strategies_run.clear_cache()
+    names = ["fw", "nt", "mdd", "fin", "jd", "liq", "cred", "vmin",
+             "vmax", "rhi"]
+    for n, x, y in zip(names, a, b):
+        if n in ("fw", "mdd"):
+            np.testing.assert_allclose(x, y, rtol=2e-5, atol=1e-5,
+                                       err_msg=n)
+        else:
+            np.testing.assert_array_equal(x, y, err_msg=n)
