@@ -358,7 +358,14 @@ def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
         scratch_shapes=[pltpu.VMEM((14, sub, _LANES), jnp.float32)] + (
             [pltpu.VMEM((6 * day_block, sub, _LANES), jnp.float32)]
             if _HOIST_DRAWS else []),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # The hoisted draw pass keeps ~28 [day_block, sub, 128] planes live
+        # on the Mosaic stack (iota/keys/uniforms/Box-Muller temps), which
+        # overflows the default 16 MB scoped-VMEM budget at 30y day blocks.
+        # v5e has 128 MB of VMEM and the streamed blocks here are ~6-12 MB,
+        # so raise the scoped limit instead of shrinking the block.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seed_words.astype(jnp.int32), params, cheb, ids, sgn, reg)
 
