@@ -52,6 +52,16 @@ TILE = _SUB * _LANES          # trials per grid program
 # elementwise instructions); costs 6 scratch rows per block day, so the
 # day block shrinks ~2/3 (see cap in pallas_joint_generate).
 _HOIST_DRAWS = True
+# Day-block row budget override (trace-time; scripts/profile_db_sweep.py).
+# None = the conservative default below; the kernel already raises its
+# scoped-VMEM limit to 64 MB, so larger blocks are available on v5e.
+_CAP_ROWS: int | None = None
+# Statically specialize day 0 out of the day loop (drops ~30 blend
+# tile-ops per non-first day). ulp-DIFFERENT from the traced-firstf
+# reference (FMA contraction shifts), so default off: the bitwise
+# hoist/slab parity gates hold only with the traced body. Perf
+# experiment — flip at trace time, clear jit caches.
+_STATIC_FIRST = False
 _TWO_PI = 2.0 * math.pi
 _GOLD = np.uint32(0x9E3779B9)
 _M1 = np.uint32(0x85EBCA6B)
@@ -145,7 +155,16 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
         for c in range(3, 6):
             draws[c * day_block:(c + 1) * day_block] = blocks[c]
 
-    def body(d, _):
+    def day(d, first):
+        """One day step. ``first`` is True/False for the statically
+        specialized day-0/rest variants (_STATIC_FIRST experiment: drops
+        ~30 day-0 blend tile-ops from every non-first day), or None for
+        the traced-firstf single body — the bitwise-reference
+        formulation. The static variants are algebraically equal but
+        ulp-DIFFERENT: removing the blend ops changes the compiler's FMA
+        contraction choices downstream (measured: 1-ulp drift from day 2
+        in interpret mode), so the bitwise hoist/slab parity gates only
+        hold with first=None."""
         (h0, h1, h2, q00, q01, q02, q11, q12, q22,
          z0, z1, z2, prev_r, vixp) = [state[i] for i in range(14)]
 
@@ -159,52 +178,67 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
             e0, e1, e2, zc, vn, irxn = (
                 draws[pl.ds(c * day_block + d, 1)][0] for c in range(6))
         else:
-            day = (j * day_block + d).astype(jnp.uint32)
-            day_key = _mix(lane_key ^ (day * _DAY_PRIME) ^ s1)
+            day_ = (j * day_block + d).astype(jnp.uint32)
+            day_key = _mix(lane_key ^ (day_ * _DAY_PRIME) ^ s1)
             e0, e1, e2, zc, vn, irxn = _six_normals(day_key)
             e0 = e0 * anti_sign
             e1 = e1 * anti_sign
             e2 = e2 * anti_sign
 
-        first = (j == 0) & (d == 0)
-        firstf = jnp.float32(jnp.where(first, 1.0, 0.0))   # scalar select
-        switch = jnp.abs(r - prev_r) * (1.0 - firstf)      # 0/1 arithmetic
-
-        def sel3(lv, garch, h):
-            # first -> lv; switch -> 0.1 lv + 0.9 h; else garch
-            blend = 0.10 * lv + 0.90 * h
-            v = garch + switch * (blend - garch)
-            return lv * firstf + v * (1.0 - firstf)
-
-        alpha = g2(ALPHA)
-        beta = g2(BETA)
-        one_ab = 1.0 - alpha - beta
         lv0, lv1, lv2 = g2(LV0), g2(LV1), g2(LV2)
-        g0 = jnp.clip(one_ab * lv0 + alpha * z0 * z0 * h0 + beta * h0,
-                      1e-10, None)
-        g1 = jnp.clip(one_ab * lv1 + alpha * z1 * z1 * h1 + beta * h1,
-                      1e-10, None)
-        g2_ = jnp.clip(one_ab * lv2 + alpha * z2 * z2 * h2 + beta * h2,
-                       1e-10, None)
-        h0n, h1n, h2n = sel3(lv0, g0, h0), sel3(lv1, g1, h1), sel3(lv2, g2_, h2)
-
-        ad, bd = g2(DCC_A), g2(DCC_B)
-        one_abd = 1.0 - ad - bd
         rb00, rb01, rb02 = g2(RB00), g2(RB01), g2(RB02)
         rb11, rb12, rb22 = g2(RB11), g2(RB12), g2(RB22)
 
-        def qsel(rb, q, zz):
-            dcc = one_abd * rb + ad * zz + bd * q
-            blend = 0.10 * rb + 0.90 * q
-            v = dcc + switch * (blend - dcc)
-            return rb * firstf + v * (1.0 - firstf)
+        if first is True:
+            h0n, h1n, h2n = lv0, lv1, lv2
+            q00n, q01n, q02n = rb00, rb01, rb02
+            q11n, q12n, q22n = rb11, rb12, rb22
+        else:
+            if first is None:
+                fbool = (j == 0) & (d == 0)
+                firstf = jnp.float32(jnp.where(fbool, 1.0, 0.0))
+                switch = jnp.abs(r - prev_r) * (1.0 - firstf)
+            else:
+                firstf = None
+                switch = jnp.abs(r - prev_r)               # 0/1 arithmetic
 
-        q00n = qsel(rb00, q00, z0 * z0)
-        q01n = qsel(rb01, q01, z0 * z1)
-        q02n = qsel(rb02, q02, z0 * z2)
-        q11n = qsel(rb11, q11, z1 * z1)
-        q12n = qsel(rb12, q12, z1 * z2)
-        q22n = qsel(rb22, q22, z2 * z2)
+            def sel3(lv, garch, h):
+                # first -> lv; switch -> 0.1 lv + 0.9 h; else garch
+                blend = 0.10 * lv + 0.90 * h
+                v = garch + switch * (blend - garch)
+                if firstf is None:
+                    return v
+                return lv * firstf + v * (1.0 - firstf)
+
+            alpha = g2(ALPHA)
+            beta = g2(BETA)
+            one_ab = 1.0 - alpha - beta
+            g0 = jnp.clip(one_ab * lv0 + alpha * z0 * z0 * h0 + beta * h0,
+                          1e-10, None)
+            g1 = jnp.clip(one_ab * lv1 + alpha * z1 * z1 * h1 + beta * h1,
+                          1e-10, None)
+            g2_ = jnp.clip(one_ab * lv2 + alpha * z2 * z2 * h2 + beta * h2,
+                           1e-10, None)
+            h0n, h1n, h2n = (sel3(lv0, g0, h0), sel3(lv1, g1, h1),
+                             sel3(lv2, g2_, h2))
+
+            ad, bd = g2(DCC_A), g2(DCC_B)
+            one_abd = 1.0 - ad - bd
+
+            def qsel(rb, q, zz):
+                dcc = one_abd * rb + ad * zz + bd * q
+                blend = 0.10 * rb + 0.90 * q
+                v = dcc + switch * (blend - dcc)
+                if firstf is None:
+                    return v
+                return rb * firstf + v * (1.0 - firstf)
+
+            q00n = qsel(rb00, q00, z0 * z0)
+            q01n = qsel(rb01, q01, z0 * z1)
+            q02n = qsel(rb02, q02, z0 * z2)
+            q11n = qsel(rb11, q11, z1 * z1)
+            q12n = qsel(rb12, q12, z1 * z2)
+            q22n = qsel(rb22, q22, z2 * z2)
 
         d0 = jnp.sqrt(jnp.clip(q00n, 1e-12, None))
         d1 = jnp.sqrt(jnp.clip(q11n, 1e-12, None))
@@ -253,13 +287,19 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
         z1n = (x1 - mu1) / jnp.sqrt(jnp.clip(h1n, 1e-10, None))
         z2n = (x2 - mu2) / jnp.sqrt(jnp.clip(h2n, 1e-10, None))
 
-        shock = jnp.maximum(-x0, 0.0) / jnp.maximum(g2(DSTD), 1e-4)
-        vjump = g2(VJSCL) * jnp.maximum(0.0, shock - g2(VJTHR))
-        phi = g2(VPHI)
-        vix_ar = jnp.maximum(
-            10.0, phi * vixp + (1.0 - phi) * g2(VTGT) + vjump
-            + g2(VNOISE) * vn)
-        vix_t = g2(VBASE) * firstf + vix_ar * (1.0 - firstf)
+        if first is True:
+            vix_t = g2(VBASE)
+        else:
+            shock = jnp.maximum(-x0, 0.0) / jnp.maximum(g2(DSTD), 1e-4)
+            vjump = g2(VJSCL) * jnp.maximum(0.0, shock - g2(VJTHR))
+            phi = g2(VPHI)
+            vix_ar = jnp.maximum(
+                10.0, phi * vixp + (1.0 - phi) * g2(VTGT) + vjump
+                + g2(VNOISE) * vn)
+            if first is None:
+                vix_t = g2(VBASE) * firstf + vix_ar * (1.0 - firstf)
+            else:
+                vix_t = vix_ar
 
         irx_t = jnp.clip(g2(IRXB) + 0.5 * irxn, 0.0, 15.0)
 
@@ -272,7 +312,24 @@ def _joint_kernel(seed_ref, params_ref, cheb_ref, ids_ref, sign_ref,
         for i, v in enumerate((h0n, h1n, h2n, q00n, q01n, q02n, q11n, q12n,
                                q22n, z0n, z1n, z2n, r, vix_t)):
             state[i] = v
-        return 0
+
+    if _STATIC_FIRST:
+        def body(d, _):
+            is0 = (j == 0) & (d == 0)
+
+            @pl.when(is0)
+            def _():
+                day(d, True)
+
+            @pl.when(jnp.logical_not(is0))
+            def _():
+                day(d, False)
+
+            return 0
+    else:
+        def body(d, _):
+            day(d, None)
+            return 0
 
     jax.lax.fori_loop(0, day_block, body, 0)
 
@@ -321,7 +378,8 @@ def pallas_joint_generate(params, cheb, regime_full, base_ids, signs,
     # the sub=8/252 budget, picking the largest divisor of total_days.
     # Hoisted-draw mode adds 6 scratch rows per block day (~10.5 stream
     # rows/day -> 16.5), so the cap shrinks by the same ratio.
-    cap_rows = (252 * 8 * 21) // 33 if _HOIST_DRAWS else 252 * 8
+    cap_rows = _CAP_ROWS or ((252 * 8 * 21) // 33 if _HOIST_DRAWS
+                             else 252 * 8)
     cap = min(day_block, max(8, cap_rows // sub))
     day_block = max(d for d in range(1, cap + 1) if total_days % d == 0)
     NB = total_days // day_block

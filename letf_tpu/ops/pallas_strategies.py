@@ -102,12 +102,22 @@ _C_RHI = _C_VMAX + 1         # regime-1 day count
 NSTATE_COMPOSE = _C_RHI + 1
 # Ring capacities (powers of two > the largest lag they serve).
 _RW_X, _RW_SPY, _RW_P, _RW_S20 = 64, 128, 256, 8
+# Scoped-VMEM geometry knobs (trace-time; scripts/profile_db_sweep.py).
+# The Mosaic default scoped limit (16 MB) forces day_block ~8 at sub=32 —
+# the signal rings (7.3 MB) eat most of the 12 MB stream budget, so a 30y
+# chunk runs ~945 grid programs. v5e has 128 MB of physical VMEM: raising
+# the limit lets the streamed day blocks grow (fewer programs, bigger
+# DMAs, a full-size hoisted-draw pass). _VMEM_MB=None keeps the Mosaic
+# default; _BUDGET_MB is what _pick_day_block divides among the streams.
+_VMEM_MB: int | None = None
+_BUDGET_MB = 12
 SQ252 = 15.874507866387544           # sqrt(252)
 
 
 def _pick_day_block(S: int, n_streams: int, sub: int,
                     requested: int | None = None,
-                    scratch_rows: int = 0) -> int:
+                    scratch_rows: int = 0,
+                    budget_mb: int = 12) -> int:
     """Largest divisor of S whose streamed working set (n_streams
     double-buffered [day_block, sub, 128] f32 blocks) fits the VMEM left
     over after ``scratch_rows`` of persistent [sub, 128] f32 scratch
@@ -120,7 +130,7 @@ def _pick_day_block(S: int, n_streams: int, sub: int,
     divisor always exists (168 | 7560, 2520, 504). An explicit
     ``requested`` acts as an additional cap."""
     row_bytes = sub * _LANES * 4
-    budget = 12 * 1024 * 1024 - scratch_rows * row_bytes
+    budget = budget_mb * 1024 * 1024 - scratch_rows * row_bytes
     cap = max(1, budget // (n_streams * row_bytes * 2))
     if requested is not None:
         cap = min(cap, requested)
@@ -1041,7 +1051,8 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
     n_ch = 7 if fused_signals else NCH
     _rings = (_RW_X + _RW_SPY + _RW_P + _RW_S20) if fused_signals else 0
     _scr = (NSTATE_FUSED if fused_signals else NSTATE) + _rings + 64
-    day_block = _pick_day_block(S, n_ch, sub, day_block, scratch_rows=_scr)
+    day_block = _pick_day_block(S, n_ch, sub, day_block, scratch_rows=_scr,
+                                budget_mb=_BUDGET_MB)
     NB = S // day_block
     assert len(ins) == n_ch, (len(ins), n_ch)
     has_cf = cashflows is not None
@@ -1072,7 +1083,9 @@ def pallas_strategies_run(channels, cashflows=None, apply_costs: bool = True,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 64, sub, _LANES), jnp.float32),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            **({"vmem_limit_bytes": _VMEM_MB * 2**20} if _VMEM_MB else {})),
         interpret=interpret,
     )(cf, *ins)
 
@@ -1112,7 +1125,8 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
     # Hoisted draws cost 8 scratch rows per block day on top of the 12
     # double-buffered stream rows: account by pretending 10 streams.
     day_block = _pick_day_block(S, 10 if _HOIST_DRAWS else 6, sub,
-                                day_block, scratch_rows=_scr)
+                                day_block, scratch_rows=_scr,
+                                budget_mb=_BUDGET_MB)
     NB = S // day_block
     has_cf = cashflows is not None
     cf = (jnp.asarray(cashflows, jnp.float32) if has_cf
@@ -1151,7 +1165,9 @@ def pallas_compose_strategies_run(sp, ap, base_ids, seed_words,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 64, sub, _LANES), jnp.float32),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            **({"vmem_limit_bytes": _VMEM_MB * 2**20} if _VMEM_MB else {})),
         interpret=interpret,
     )(cf, seed_words.astype(jnp.int32), sp, ap, ids,
       spy, qqq, tlt, vix, irx, regime)
