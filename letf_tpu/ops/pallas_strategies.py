@@ -102,15 +102,19 @@ _C_RHI = _C_VMAX + 1         # regime-1 day count
 NSTATE_COMPOSE = _C_RHI + 1
 # Ring capacities (powers of two > the largest lag they serve).
 _RW_X, _RW_SPY, _RW_P, _RW_S20 = 64, 128, 256, 8
-# Scoped-VMEM geometry knobs (trace-time; scripts/profile_db_sweep.py).
+# Scoped-VMEM geometry (trace-time; swept by scripts/profile_db_sweep.py).
 # The Mosaic default scoped limit (16 MB) forces day_block ~8 at sub=32 —
-# the signal rings (7.3 MB) eat most of the 12 MB stream budget, so a 30y
+# the signal rings (7.3 MB) eat most of a 12 MB stream budget, so a 30y
 # chunk runs ~945 grid programs. v5e has 128 MB of physical VMEM: raising
 # the limit lets the streamed day blocks grow (fewer programs, bigger
-# DMAs, a full-size hoisted-draw pass). _VMEM_MB=None keeps the Mosaic
-# default; _BUDGET_MB is what _pick_day_block divides among the streams.
-_VMEM_MB: int | None = None
-_BUDGET_MB = 12
+# DMAs, a full-size hoisted-draw pass). Hardware sweep at 16384x30y:
+# default 154.9 ms -> 133.6 ms at day_block=120 under a 64 MB limit;
+# day_block>=252 under 100+ MB fails to compile (Mosaic allocator), so
+# _DB_CAP pins the block at the largest measured-good size. Outputs are
+# bitwise independent of the geometry (multi-block == single-block).
+_VMEM_MB: int | None = 64
+_BUDGET_MB = 60
+_DB_CAP = 120
 SQ252 = 15.874507866387544           # sqrt(252)
 
 
@@ -131,7 +135,7 @@ def _pick_day_block(S: int, n_streams: int, sub: int,
     ``requested`` acts as an additional cap."""
     row_bytes = sub * _LANES * 4
     budget = budget_mb * 1024 * 1024 - scratch_rows * row_bytes
-    cap = max(1, budget // (n_streams * row_bytes * 2))
+    cap = max(1, min(budget // (n_streams * row_bytes * 2), _DB_CAP))
     if requested is not None:
         cap = min(cap, requested)
     cap = min(cap, S)
