@@ -31,12 +31,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-# VMEM rows per working tile. 8192 rows x 128 lanes x 4 B = 4 MB for the
-# working tile (~8 MB peak with the rolled copy); large enough that a 30y
-# window (7560 + 1264 rows) still runs as ONE block per program — fewer
-# blocks means less lookahead-tail read amplification (the tail is
-# re-read once per block) and a smaller staged tails tensor.
-_ROW_BUDGET = 8192
+# VMEM rows per working tile: 16384 rows x 128 lanes x 4 B = 8 MB working
+# tile (~16 MB peak with the rolled copy), so a 30y window (7560 + 1264
+# rows) runs as ONE block per program — fewer blocks means less
+# lookahead-tail read amplification (the [H, n_blocks, max_off_pad, 128]
+# staged tails tensor is ~1 GB per 16384-trial channel at n_blocks=2) and
+# half the grid programs. Hardware (16384x30y, 6 channels): 78.0 ms at
+# the old 8192-row budget -> 64.3 ms, bitwise-equal output
+# (scripts/profile_window.py).
+_ROW_BUDGET = 16384
+# Scoped-VMEM limit: the 16 MB Mosaic default can't hold the single-block
+# working tile + rolled copy; 64 MB measured best (100 MB: 66.7 ms).
+_VMEM_MB: int | None = 64
 
 
 def _plan_blocks(sim_days: int, max_off_pad: int) -> tuple[int, int]:
@@ -188,6 +194,8 @@ def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool,
         out_shape=jax.ShapeDtypeStruct((H, S_pad, _LANES), slabs.dtype),
         scratch_shapes=[pltpu.VMEM((day_block + max_off_pad, _LANES),
                                    jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            **({"vmem_limit_bytes": _VMEM_MB * 2**20} if _VMEM_MB else {})),
         interpret=interpret,
     )(*ins, body, tails)[:, :sim_days]
 
