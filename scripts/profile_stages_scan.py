@@ -34,7 +34,7 @@ def chunk_to(stage: int, ci):
     ids = ci * B + jnp.arange(B, dtype=jnp.int32) // 2 * 2 + 0  # trial ids
     ids = ci * B + jnp.arange(B, dtype=jnp.int32) // 2
     anti = (jnp.arange(B) % 2).astype(bool)
-    sub = 8
+    sub = 32                      # match production slab_chunk geometry
 
     offs_pre = pb.start_offsets_only(run_key, ids, BUF)
     perm = jnp.argsort(offs_pre)

@@ -35,7 +35,7 @@ print(f"platform={jax.devices()[0].platform}  B={B}  30y", flush=True)
 
 orig = sc.slab_chunk_summaries
 
-for sub_h in (8, 16, 32):
+for sub_h in (16, 32, 64):
     # slab_chunk picks sub from B; monkeypatch the chooser via a wrapper
     # that reshapes nothing — instead call the internals with a forced
     # sub by temporarily shadowing the `next(...)` pick.
