@@ -119,15 +119,19 @@ def _gather_rows(a, idx):
     return jnp.take_along_axis(a, idx, axis=1)
 
 
-def _prefix_cost(take, cb_prev, q, p):
-    """Cost of the first `take` shares of the pristine FIFO lot list:
-    sum_i clip(take - CB_{i-1}, 0, q_i) * p_i. take [B, J]; lots [B, S].
+def _prefix_cost_ss(take, cb_prev, q, p):
+    """searchsorted formulation of _prefix_cost (the test oracle).
 
+    Cost of the first `take` shares of the pristine FIFO lot list:
+    sum_i clip(take - CB_{i-1}, 0, q_i) * p_i. take [B, J]; lots [B, S].
     Closed form via the cumulative-cost curve: with k the lot containing
     share-coordinate `take` (cb is its right boundary), the cost is the
     full cost of lots [0, k) plus the partial (take - CB_{k-1}) * p_k.
-    O(S log S) instead of the O(S * J) pair broadcast (at 30y the pair
-    form is ~7,560x more work — VERDICT r2 weak #5)."""
+    O(S log S) instead of the O(S * J) pair broadcast — but the row-wise
+    searchsorted (method='sort') measured 3.8 s per [4096, 7560] block on
+    TPU (84% of the whole bridge): it pays an argsort + inverse-
+    permutation sort PLUS gather rounds. The merge formulation below
+    replaces it at ~4x less cost."""
     cb = cb_prev + q
     pc = jnp.cumsum(q * p, axis=1)                      # cost of lots [0, i]
     pc_prev = pc - q * p
@@ -138,6 +142,72 @@ def _prefix_cost(take, cb_prev, q, p):
     part = jnp.clip(take - _gather_rows(cb_prev, k), 0.0,
                     _gather_rows(q, k))
     return _gather_rows(pc_prev, k) + part * _gather_rows(p, k)
+
+
+def _prefix_cost(take, cb_prev, q, p):
+    """Merged-sort evaluation of the piecewise-linear cumulative-cost
+    curve at J = S query points per row (the pass-2 merge trick applied
+    to pass 1; requires take.shape == q.shape).
+
+    Reproduces _prefix_cost_ss's lot choice EXACTLY: the owning lot is
+    k = min(first lot with cb > take, S-1). Sort keys are cummax(cb) —
+    cb = cb_prev + q carries ulp dips at zero-width lots (the float
+    reconstruction (x + q) - q is not monotone), and first-with-
+    cummax(cb) > take equals first-with-cb > take while giving the sort
+    truly monotone keys. Queries sort BEFORE equal-valued lots (a lot
+    with cb == take is not > take), a suffix nearest-at-or-after fill
+    hands each query lot k's raw (prefix cost, cb_prev, q, p) payload,
+    queries beyond the last boundary substitute lot S-1 (the ss clamp),
+    and a second sort restores query day order. Bitwise-equal to
+    _prefix_cost_ss: the same three arithmetic ops on the same operands
+    (oracle-equality test in tests/test_device_bridge.py)."""
+    B, S = q.shape
+    dt = q.dtype
+    pc_prev = jnp.cumsum(q * p, axis=1) - q * p         # cost of lots [0, i)
+    m = jax.lax.cummax(cb_prev + q, axis=1)
+    day = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    z = jnp.zeros_like(take)
+    val = jnp.concatenate([take, m], axis=1)             # [B, 2S]
+    tag = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
+                           jnp.ones((B, S), jnp.int32)], axis=1)
+    pcv = jnp.concatenate([z, pc_prev], axis=1)
+    cbpv = jnp.concatenate([z, cb_prev], axis=1)
+    qv = jnp.concatenate([z, q], axis=1)
+    pv = jnp.concatenate([z, p], axis=1)
+    dayv = jnp.concatenate([day, day], axis=1)
+    val, tag, pcv, cbpv, qv, pv, dayv = jax.lax.sort(
+        (val, tag, pcv, cbpv, qv, pv, dayv), dimension=1, num_keys=2,
+        is_stable=True)
+    is_lot = tag == 1
+
+    def fill(a, b):
+        """Suffix combine (reverse scan): the RIGHT side is nearer in
+        suffix order, so it wins when valid — nearest lot at-or-after."""
+        ha, pa, ca, qa, ppa = a
+        hb, pb, cbv, qb, ppb = b
+        f = hb.astype(dt)
+        g = 1.0 - f
+        return (ha | hb, f * pb + g * pa, f * cbv + g * ca,
+                f * qb + g * qa, f * ppb + g * ppa)
+
+    has, pc_f, cbp_f, q_f, p_f = jax.lax.associative_scan(
+        fill, (is_lot, jnp.where(is_lot, pcv, 0.0),
+               jnp.where(is_lot, cbpv, 0.0), jnp.where(is_lot, qv, 0.0),
+               jnp.where(is_lot, pv, 0.0)), axis=1, reverse=True)
+    # ss clamp: take beyond the last boundary owns lot S-1.
+    f = has.astype(dt)
+    g = 1.0 - f
+    pc_f = f * pc_f + g * pc_prev[:, -1:]
+    cbp_f = f * cbp_f + g * cb_prev[:, -1:]
+    q_f = f * q_f + g * q[:, -1:]
+    p_f = f * p_f + g * p[:, -1:]
+    part = jnp.clip(val - cbp_f, 0.0, q_f)               # val == take here
+    cost = pc_f + part * p_f
+    # Restore day order: (tag, day) pairs are unique; queries (tag 0)
+    # sort to the lower half in day order.
+    _, _, cost = jax.lax.sort((tag, dayv, cost), dimension=1, num_keys=2)
+    return cost[:, :S]
 
 
 def _wash_matching_scan(loss, sell_sh, buy_q):

@@ -213,3 +213,37 @@ def test_device_bridge_scales_and_feeds_tax(emission):
     tt = np.asarray(out["total_tax"])
     assert tt.shape == (B,)
     assert np.isfinite(tt).all() and (tt >= 0).all()
+
+
+def test_prefix_cost_merge_matches_searchsorted():
+    """The merged-sort _prefix_cost (pass-1 scaling fix: the row-wise
+    method='sort' searchsorted was 84% of the bridge on TPU) must pick
+    the SAME owning lot as the searchsorted oracle everywhere — wrong-lot
+    errors are ~50% relative — including the clamp case (take beyond the
+    last lot), zero-width-lot ulp dips in cb_prev + q at the query
+    coordinate, and take == 0. The final cost multiply-add may contract
+    to an FMA differently between the two fusion contexts, so equality
+    is asserted to 1-ulp relative tolerance rather than bitwise."""
+    from letf_tpu.tax.device_bridge import _prefix_cost, _prefix_cost_ss
+
+    rng = np.random.default_rng(11)
+    B, S = 8, 504
+    q = np.where(rng.random((B, S)) < 0.5, rng.gamma(2.0, 5.0, (B, S)), 0.0)
+    p = np.maximum(
+        50.0 + np.cumsum(rng.normal(0, 1.0, (B, S)), axis=1) * 0.2, 5.0)
+    cb = np.cumsum(q, axis=1)
+    take = np.where(rng.random((B, S)) < 0.2,
+                    rng.random((B, S)) * cb[:, -1:] * 1.05, 0.0)
+    # Force the edge cases: beyond-total clamp, exact lot-boundary ties,
+    # and a row with no lots at all.
+    take[:, -1] = cb[:, -1] * 2.0
+    take[:, -2] = cb[:, S // 2]
+    q[0] = 0.0
+    cb[0] = 0.0
+    take[0, : S // 2] = 0.0
+    cbp = jnp.asarray(cb - q)
+    a = np.asarray(_prefix_cost(jnp.asarray(take), cbp, jnp.asarray(q),
+                                jnp.asarray(p)))
+    b = np.asarray(_prefix_cost_ss(jnp.asarray(take), cbp, jnp.asarray(q),
+                                   jnp.asarray(p)))
+    np.testing.assert_allclose(a, b, rtol=5e-15, atol=0.0)
