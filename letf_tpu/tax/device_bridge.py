@@ -439,17 +439,20 @@ def _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev, buy_q,
     cb = jax.lax.cummax(cb, axis=1)
 
     # Merged elements: lots carry (basis, orig); sells carry (price, day,
-    # anybuy). sec=0 for lots sorts them before equal-key sells.
+    # anybuy). sec=0 for lots sorts them before equal-key sells. Day and
+    # the wash-window flag pack into ONE value (2*day + anybuy — exact up
+    # to 2^23 days in f32, S is ~7.5k), dropping a sort operand and a
+    # fill array; the unpack below recovers the exact integers.
     key = jnp.concatenate([cb, cs], axis=1)                       # [B, 2S]
     sec = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
                            jnp.ones((B, S), jnp.int32)], axis=1)
     va = jnp.concatenate([basis_ps, price], axis=1)               # basis|p
-    vb = jnp.concatenate([orig.astype(dt),
-                          jnp.broadcast_to(days[None], (B, S))], axis=1)
-    vc = jnp.concatenate([jnp.zeros((B, S), dt),
-                          anybuy.astype(dt)], axis=1)
-    key, sec, va, vb, vc = jax.lax.sort(
-        (key, sec, va, vb, vc), dimension=1, num_keys=2, is_stable=True)
+    vb = jnp.concatenate(
+        [orig.astype(dt) * 2.0,
+         jnp.broadcast_to(days[None], (B, S)) * 2.0 + anybuy.astype(dt)],
+        axis=1)
+    key, sec, va, vb = jax.lax.sort(
+        (key, sec, va, vb), dimension=1, num_keys=2, is_stable=True)
     is_sell = sec == 1
 
     # Suffix fills: nearest element at-or-after of each type. With
@@ -457,27 +460,32 @@ def _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev, buy_q,
     # "nearest" means the RIGHT argument wins when it is valid (the op is
     # associative: last-valid-in-scan-order).
     def fill(a, b):
-        (hs_a, ps_a, ds_a, ab_a, hl_a, bl_a, ol_a) = a
-        (hs_b, ps_b, ds_b, ab_b, hl_b, bl_b, ol_b) = b
+        (hs_a, ps_a, ds_a, hl_a, bl_a, ol_a) = a
+        (hs_b, ps_b, ds_b, hl_b, bl_b, ol_b) = b
         fs = hs_b.astype(dt)
         fl = hl_b.astype(dt)
         return (hs_a | hs_b,
                 fs * ps_b + (1.0 - fs) * ps_a,
                 fs * ds_b + (1.0 - fs) * ds_a,
-                fs * ab_b + (1.0 - fs) * ab_a,
                 hl_a | hl_b,
                 fl * bl_b + (1.0 - fl) * bl_a,
                 fl * ol_b + (1.0 - fl) * ol_a)
 
     z = jnp.zeros_like(va)
-    has_s, p_own, d_own, ab_own, has_l, b_own, o_own = (
+    has_s, p_own, d2_own, has_l, b_own, o2_own = (
         jax.lax.associative_scan(
             fill,
             (is_sell, jnp.where(is_sell, va, 0.0),
-             jnp.where(is_sell, vb, 0.0), jnp.where(is_sell, vc, 0.0),
+             jnp.where(is_sell, vb, 0.0),
              ~is_sell, jnp.where(is_sell, z, va),
              jnp.where(is_sell, z, vb)),
             axis=1, reverse=True))
+    # Unpack 2*day + anybuy (exact: the fill is a 0/1 arithmetic select
+    # over exactly-representable even/odd integers; lots' packed orig is
+    # always even, so o_own recovers exactly).
+    d_own = jnp.floor(d2_own * 0.5)
+    ab_own = d2_own - 2.0 * d_own
+    o_own = o2_own * 0.5
 
     amt = jnp.clip(key - jnp.concatenate([jnp.zeros((B, 1), dt),
                                           key[:, :-1]], axis=1), 0.0, None)
