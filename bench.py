@@ -20,6 +20,7 @@ Baseline: the reference CPU pipeline sustains ~8.4k path-days/s
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -204,12 +205,29 @@ def bench_exact_tax(platform: str):
     t0 = time.perf_counter()
     out = exact_post_tax_all_trials(model, 30, B, chunk_size=B, seed=4)
     dt = time.perf_counter() - t0
-    return {
+    rec = {
         "ran": True, "trials": B, "years": 30, "strategies": 13,
         "seconds": round(dt, 1),
         "extrapolated_1M_minutes": round(dt * (1_048_576 / B) / 60.0, 1),
         "median_tax_S7": round(out["S7"]["median_tax"], 1),
     }
+    # A REAL (non-extrapolated) 1M x 30y x 13 run, when captured on this
+    # machine (scripts/tpu_exact_tax_1m.py) — the reference's ceiling is
+    # 50 sampled trials per strategy.
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "EXACT_TAX_1M_r03.json")
+    if os.path.exists(art):
+        try:
+            with open(art) as f:
+                real = json.load(f)
+            rec["measured_1M_run"] = {
+                "minutes": real["minutes"], "trials": real["trials"],
+                "strategies": real["strategies"],
+                "median_tax_S7": real["per_strategy"]["S7"]["median_tax"],
+            }
+        except (OSError, KeyError, ValueError):
+            pass
+    return rec
 
 
 def bench_full_engine(platform: str):
