@@ -4,8 +4,8 @@ asked to capture (the reference caps exact tax at 50 sampled trials per
 strategy and interpolates the rest, reporting.py:455-509).
 
 Writes EXACT_TAX_1M_r03.json at the repo root: wall-clock, per-strategy
-pre/post-tax percentile fans, median tax. Chunk size 4096 keeps the
-emission tensors (~6.4 GB for 4 x [7560, 4096, 13] f32) inside HBM next
+pre/post-tax percentile fans, median tax. Chunk size 2048 (the bench-compiled shapes) keeps the
+emission tensors (4 x [7560, B, 13] f32) inside HBM next
 to the path slabs.
 """
 import json
@@ -25,7 +25,7 @@ from letf_tpu.reporting import exact_post_tax_all_trials  # noqa: E402
 model = default_sim_model()
 N = 1_048_576
 t0 = time.perf_counter()
-out = exact_post_tax_all_trials(model, 30, N, chunk_size=4096, seed=4)
+out = exact_post_tax_all_trials(model, 30, N, chunk_size=2048, seed=4)
 dt = time.perf_counter() - t0
 
 rec = {
