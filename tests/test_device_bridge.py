@@ -247,3 +247,30 @@ def test_prefix_cost_merge_matches_searchsorted():
     b = np.asarray(_prefix_cost_ss(jnp.asarray(take), cbp, jnp.asarray(q),
                                    jnp.asarray(p)))
     np.testing.assert_allclose(a, b, rtol=5e-15, atol=0.0)
+
+
+def test_prefix_cost_merge_matches_searchsorted_f32():
+    """Production runs the bridge in f32 where the cb_prev + q ulp dips
+    are coarser; the merge must still pick the oracle's lot there."""
+    from letf_tpu.tax.device_bridge import _prefix_cost, _prefix_cost_ss
+
+    rng = np.random.default_rng(23)
+    B, S = 8, 504
+    q = np.where(rng.random((B, S)) < 0.5,
+                 rng.gamma(2.0, 5.0, (B, S)), 0.0).astype(np.float32)
+    p = np.maximum(
+        50.0 + np.cumsum(rng.normal(0, 1.0, (B, S)), axis=1) * 0.2,
+        5.0).astype(np.float32)
+    cb = np.cumsum(q, axis=1, dtype=np.float32)
+    take = np.where(rng.random((B, S)) < 0.2,
+                    (rng.random((B, S)) * cb[:, -1:] * 1.05), 0.0
+                    ).astype(np.float32)
+    take[:, -1] = cb[:, -1] * 2.0
+    take[:, -2] = cb[:, S // 2]
+    cbp = jnp.asarray(cb - q)
+    a = np.asarray(_prefix_cost(jnp.asarray(take), cbp, jnp.asarray(q),
+                                jnp.asarray(p)))
+    b = np.asarray(_prefix_cost_ss(jnp.asarray(take), cbp, jnp.asarray(q),
+                                   jnp.asarray(p)))
+    assert a.dtype == np.float32
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=0.0)
