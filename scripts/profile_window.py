@@ -50,7 +50,6 @@ ref = None
 for budget, vmem in ((8192, None), (16384, 64), (16384, 100)):
     pw._ROW_BUDGET, pw._VMEM_MB = budget, vmem
     pw.window_offsets_slab.clear_cache()
-    pw._window_tiles and None
     try:
         a = stage()  # compile + warm
         if ref is None:
@@ -66,4 +65,4 @@ for budget, vmem in ((8192, None), (16384, 64), (16384, 100)):
     except Exception as e:  # noqa: BLE001
         print(f"budget={budget} vmem={vmem}: FAILED {type(e).__name__}: "
               f"{str(e)[:160]}", flush=True)
-pw._ROW_BUDGET, pw._VMEM_MB = 8192, None
+pw._ROW_BUDGET, pw._VMEM_MB = 16384, 64    # production defaults
