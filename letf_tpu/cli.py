@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force the offline synthetic market history")
     p.add_argument("--quick", action="store_true",
                    help="10 sims x 10y, strategies S1-S3")
+    p.add_argument("--report", action="store_true",
+                   help="at-scale production report: full percentile fans "
+                        "reduced on device (scales to 1M+ trials; pair "
+                        "with --sims)")
     return p
 
 
@@ -59,6 +63,12 @@ def main(argv=None) -> None:
         cfg.NUM_SIMULATIONS = args.sims or 10
         import quick_test  # noqa: F401  (repo-root smoke script)
         quick_test.main()
+        return
+
+    if args.report:
+        from letf_tpu.runner import run_report
+        run_report(horizons=args.horizons, num_simulations=args.sims,
+                   seed=args.seed, force_synthetic=args.synthetic_data)
         return
 
     from letf_tpu.runner import run

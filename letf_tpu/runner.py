@@ -18,6 +18,57 @@ def _fmt_elapsed(seconds: float) -> str:
     return f"{int(m)}m {s:.1f}s"
 
 
+def run_report(horizons: Optional[List[int]] = None,
+               num_simulations: Optional[int] = None, seed: int = 0,
+               force_synthetic: bool = False, model=None,
+               chunk_size: Optional[int] = None,
+               chunks_per_dispatch: Optional[int] = None) -> Dict:
+    """Production at-scale report pipeline: calibrate, then run each
+    horizon through ``monte_carlo_report`` — the resident device-side
+    chunk loop with the full percentile report reduced ON DEVICE, so it
+    scales to 1M+ trials without materializing per-trial tensors (the
+    reference's results-list pipeline holds every trial as a host dict,
+    letf/mc_runner.py:155-210). Returns {horizon: report dict}.
+
+    ``model``: optional pre-built SimModel/regime dict — skips data fetch
+    and calibration (used by tests and by callers that already calibrated).
+    """
+    from letf_tpu import config as cfg
+    from letf_tpu.parallel.mc_runner import monte_carlo_report
+    from letf_tpu.tax.engine import run_golden_tests
+
+    run_golden_tests(trace_failures=True)
+    if model is None:
+        from letf_tpu.calibration import calibrate_all
+        from letf_tpu.data import fetch_historical_data
+
+        df = fetch_historical_data(force_synthetic=force_synthetic)
+        model, _ = calibrate_all(df)
+
+    reports: Dict[int, Dict] = {}
+    for horizon in (horizons or [10, 20, 30]):
+        t0 = time.time()
+        rep = monte_carlo_report(
+            model, horizon, num_simulations=num_simulations, seed=seed,
+            chunk_size=chunk_size, chunks_per_dispatch=chunks_per_dispatch)
+        dt = time.time() - t0
+        reports[horizon] = rep
+        print(f"\n{'=' * 72}")
+        print(f"AT-SCALE REPORT: {rep['n_trials']:,} trials x {horizon}y "
+              f"({_fmt_elapsed(dt)}; valid {rep['valid_frac']:.4f})")
+        print(f"{'=' * 72}")
+        hdr = "  ".join(f"p{p:<4d}" for p in rep["percentiles"])
+        print(f"  {'sid':<4s} {'name':<28s} {hdr}  win%  mdd")
+        for sid, s in rep["strategies"].items():
+            fan = "  ".join(f"{s['wealth'][f'p{p}']:>5.0f}"
+                            for p in rep["percentiles"])
+            name = cfg.STRATEGIES.get(sid, {}).get("name", "")[:28]
+            print(f"  {sid:<4s} {name:<28s} {fan}  "
+                  f"{100 * s['win_rate_vs_spy']:4.0f}  "
+                  f"{s['median_max_dd']:.2f}")
+    return reports
+
+
 def run(horizons: Optional[List[int]] = None, seed: int = 0,
         tax_overrides: Optional[Dict] = None,
         force_synthetic: bool = False) -> Dict:

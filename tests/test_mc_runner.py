@@ -191,6 +191,22 @@ def test_monte_carlo_report_matches_raw_arrays(model):
     assert rep["valid_frac"] == pytest.approx(float(arr.valid.mean()))
 
 
+def test_run_report_orchestrator(model, capsys):
+    """The CLI-reachable at-scale report pipeline (runner.run_report /
+    `--report`) routes through monte_carlo_report: same report dict per
+    horizon, golden tax gate first, table printed."""
+    from letf_tpu.parallel.mc_runner import monte_carlo_report
+    from letf_tpu.runner import run_report
+
+    out = run_report(horizons=[1], num_simulations=16, seed=9, model=model,
+                     chunk_size=8, chunks_per_dispatch=2)
+    direct = monte_carlo_report(model, 1, num_simulations=16, seed=9,
+                                chunk_size=8, chunks_per_dispatch=2)
+    assert list(out) == [1]
+    assert out[1] == direct
+    assert "AT-SCALE REPORT" in capsys.readouterr().out
+
+
 def test_regime_path_opt_in(model):
     """include_regime_paths attaches the FULL per-day regime path
     (reference engine.py:592-604), consistent with the engine's own
