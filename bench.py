@@ -285,6 +285,17 @@ def bench_full_engine(platform: str):
             "p90_tqqq_cagr": round(s1["cagr"]["p90"], 4),
             "tqqq_ruin_frac": round(s1["ruin_frac"], 4),
             "valid_frac": round(rep["valid_frac"], 6),
+            "valid_frac_note": (
+                "'valid' mirrors the reference's layer check verbatim "
+                "(min_vix >= 5 and max_vix <= 120 over the whole path, "
+                "engine.py:226-229); the reference's VIX update has a 10.0 "
+                "floor but NO upper clip (engine.py:115), so over ~8.8k "
+                "30y path days crisis jumps push nearly every fallback-"
+                "model path above 120 at least once (checked: median 30y "
+                "VIX max ~295 on CPU/f32). A low 30y valid_frac is the "
+                "faithful flag rate — paths are flagged, never discarded, "
+                "and the calibrated distribution gate below is the "
+                "output-sanity check"),
         }
     return out
 
