@@ -52,6 +52,24 @@ _MIN_SHARES = 0.001
 _WINDOW = 30
 _RING = 64
 
+# f32 overflow guard (VERDICT r3 weak #1): deep-ruin paths underflow the
+# TQQQ price toward f32-denormal (~1e-38), and the share-exact journal rule
+# target = alloc * value / price then overflows share counts to Inf —
+# observed poisoning every S8 exact-tax chunk at 30y with Inf/NaN yearly
+# activity. The bridge therefore runs its whole share economy at a FLOORED
+# price max(price, 1e-8): both the share-target computation and the
+# recorded lot/sell prices use the floored value, so every dollar flow
+# (cost = q*p, proceeds = sell*p, gains) is computed consistently within
+# the floored economy and stays finite in f32. Price movement below
+# 1e-8 dollars/share (a >=1e10 collapse from any real LETF price) is
+# economically zero: the dollar error of flattening it is bounded by
+# position_value * (floor / last_above_floor_price) — sub-cent. Paths
+# whose prices never dip below the floor are bitwise unchanged, so the
+# f64 host-tracker parity tests (which replay real short-horizon paths)
+# are unaffected. The reference never needs this: its engine is host f64
+# (letf/integration.py:127-226), where the same prices stay representable.
+_PRICE_FLOOR = 1e-8
+
 IDX_TQQQ = cfg.ASSET_INDEX["TQQQ"]
 IDX_SPY = cfg.ASSET_INDEX["SPY"]
 _BRIDGE_ASSETS = (IDX_TQQQ, IDX_SPY)   # assets taxable strategies trade
@@ -71,16 +89,18 @@ def replay_trades(tj_alloc, tj_value, tj_price, tj_asset):
     Inputs are [S, B] slices. Returns dict of [B, S, A2] buy/sell share
     tensors plus the [B, S] price (A2 = len(_BRIDGE_ASSETS)). Mirrors
     TradeJournal.log_allocation_change: target = alloc*value/price, trade
-    iff |target - held| >= 0.001, held -> target."""
+    iff |target - held| >= 0.001, held -> target. Prices are floored at
+    _PRICE_FLOOR (share-count f32 overflow guard; see the constant's
+    comment) in both the target computation and the returned price."""
     S, B = tj_alloc.shape
     dt = tj_alloc.dtype
     a2 = len(_BRIDGE_ASSETS)
+    tj_price = jnp.maximum(tj_price, jnp.asarray(_PRICE_FLOOR, dt))
 
     def step(held, x):
         alloc, value, price, asset = x
-        valid = ~jnp.isnan(alloc) & (price > 0)
-        target = jnp.where(valid, alloc * value / jnp.maximum(price, 1e-30),
-                           0.0)
+        valid = ~jnp.isnan(alloc)
+        target = jnp.where(valid, alloc * value / price, 0.0)
         buys, sells, held_new = [], [], []
         for k, aid in enumerate(_BRIDGE_ASSETS):
             mine = valid & (asset == aid)

@@ -5,14 +5,18 @@ interpolates the rest, reporting.py:455-509).
 
 Usage: python scripts/tpu_exact_tax_1m.py [n_trials]   (default 1,048,576)
 
-Writes EXACT_TAX_SCALE_r03.json at the repo root: wall-clock, trial count,
+Writes EXACT_TAX_SCALE_r04.json at the repo root: wall-clock, trial count,
 per-strategy pre/post-tax percentile fans, median tax — a REAL measured
-run at the recorded scale, never an extrapolation. Chunk size 2048 (the
-bench-compiled shapes) keeps the emission tensors (4 x [7560, B, 13] f32)
-inside HBM next to the path slabs; ~12 s/chunk, so budget ~100 min for
-the full 1M.
+run at the recorded scale, never an extrapolation. Guards:
+- finiteness gate: exact_post_tax_all_trials raises on any non-finite
+  activity/tax (VERDICT r3 weak #1 — the S8 f32 overflow shipped as NaN);
+  the record is serialized with allow_nan=False so a regression cannot
+  produce invalid JSON again.
+- no-clobber: refuses to overwrite an artifact recording MORE trials
+  (ADVICE r3: a smoke run silently clobbered the 65,536-trial record).
 """
 import json
+import os
 import sys
 import time
 
@@ -26,8 +30,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from letf_tpu.models.params import default_sim_model  # noqa: E402
 from letf_tpu.reporting import exact_post_tax_all_trials  # noqa: E402
 
+ARTIFACT = "/root/repo/EXACT_TAX_SCALE_r04.json"
+
 model = default_sim_model()
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
+
+if os.path.exists(ARTIFACT):
+    with open(ARTIFACT) as f:
+        prev = json.load(f)
+    if prev.get("trials", 0) > N:
+        sys.exit(f"{ARTIFACT} already records {prev['trials']:,} trials > "
+                 f"requested {N:,}; refusing to overwrite a larger run "
+                 f"(write elsewhere or delete it explicitly).")
+
 t0 = time.perf_counter()
 out = exact_post_tax_all_trials(model, 30, N, chunk_size=2048, seed=4)
 dt = time.perf_counter() - t0
@@ -38,12 +53,20 @@ rec = {
     "trials": N, "years": 30, "strategies": 13,
     "lot_method": "FIFO", "platform": str(jax.devices()[0].platform),
     "seconds": round(dt, 1), "minutes": round(dt / 60.0, 1),
+    "finiteness_gate": "passed (exact_post_tax_all_trials raises on any "
+                       "non-finite activity/tax)",
     "per_strategy": {sid: {k: round(float(v), 2) for k, v in d.items()
                            if not isinstance(v, bool)}
                      for sid, d in out.items()},
 }
-with open("/root/repo/EXACT_TAX_SCALE_r03.json", "w") as f:
-    json.dump(rec, f, indent=1)
+for sid, d in rec["per_strategy"].items():
+    bad = [k for k, v in d.items()
+           if isinstance(v, float) and not (v == v and abs(v) != float("inf"))]
+    if bad:
+        sys.exit(f"non-finite values leaked into the record for {sid}: {bad}")
+with open(ARTIFACT, "w") as f:
+    json.dump(rec, f, indent=1, allow_nan=False)
 print(json.dumps({k: rec[k] for k in ("trials", "seconds", "minutes")}),
       flush=True)
 print("S7:", rec["per_strategy"]["S7"], flush=True)
+print("S8:", rec["per_strategy"]["S8"], flush=True)
