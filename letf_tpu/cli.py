@@ -35,8 +35,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="10 sims x 10y, strategies S1-S3")
     p.add_argument("--report", action="store_true",
                    help="at-scale production report: full percentile fans "
-                        "reduced on device (scales to 1M+ trials; pair "
-                        "with --sims)")
+                        "reduced on device, pre- AND post-tax (honors "
+                        "--state/--income/--filing; scales to 1M+ trials; "
+                        "pair with --sims)")
+    p.add_argument("--tax-mode", type=str, default="sampled",
+                   choices=["sampled", "exact_all", "none"],
+                   help="--report taxable tables: sampled (reference "
+                        "amortization, <=50 exact trials/strategy + "
+                        "device interp), exact_all (every trial taxed "
+                        "exactly; minutes at 1M), none (pre-tax only)")
     return p
 
 
@@ -68,7 +75,11 @@ def main(argv=None) -> None:
     if args.report:
         from letf_tpu.runner import run_report
         run_report(horizons=args.horizons, num_simulations=args.sims,
-                   seed=args.seed, force_synthetic=args.synthetic_data)
+                   seed=args.seed, force_synthetic=args.synthetic_data,
+                   tax_overrides={"state": args.state,
+                                  "ordinary_income": args.income,
+                                  "filing_status": args.filing},
+                   tax_mode=args.tax_mode)
         return
 
     from letf_tpu.runner import run

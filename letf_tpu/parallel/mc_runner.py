@@ -678,6 +678,8 @@ def monte_carlo_report(
     cashflows=None,
     anchors=None,
     percentiles=(10, 25, 40, 50, 60, 75, 90),
+    tax_config: Optional[Dict] = None,
+    tax_mode: str = "sampled",
 ) -> Dict:
     """The production report path: N trials through the resident driver
     with the FULL percentile report reduced ON DEVICE — only the report
@@ -685,11 +687,20 @@ def monte_carlo_report(
 
     This is the north-star deliverable ("1M x 30y with full percentile
     report"): per-strategy wealth/CAGR/max-drawdown fans, win rates vs the
-    SPY benchmark, trade stats, and validity counts. run_monte_carlo's
-    MCArrays remain the raw-array API; fetching its [N, 19] tensors
-    through the tunneled dev TPU costs ~15 s/1M trials at the observed
-    ~18 MB/s (a tunnel artifact — a production host fetches at GB/s), so
-    the report path never materializes them."""
+    SPY benchmark, trade stats, validity counts, AND the reference's
+    taxable tables (reporting.py:417-511). run_monte_carlo's MCArrays
+    remain the raw-array API; fetching its [N, 19] tensors through the
+    tunneled dev TPU costs ~15 s/1M trials at the observed ~18 MB/s (a
+    tunnel artifact — a production host fetches at GB/s), so the report
+    path never materializes them.
+
+    ``tax_mode``: "sampled" (default — the reference's amortization:
+    exact tax for <= 50 trials per taxable strategy sampled across sorted
+    wealth, device-interpolated over the rest; a few seconds at 1M x 30y),
+    "exact_all" (every trial taxed exactly via the device bridge — the
+    capability upgrade; ~minutes at scale), or "none" (pre-tax only).
+    Post-tax fans land under strategies[sid]["post_tax"]; the added
+    wall-clock is recorded as report["post_tax_seconds"]."""
     if not isinstance(model, SimModel):
         model = build_sim_model(model)
     if num_simulations is None:
@@ -773,7 +784,8 @@ def monte_carlo_report(
             ruin_frac=jnp.mean((fw <= 0.0).astype(fw.dtype), axis=0),
         )
 
-    dev = reduce_report(cat("final_wealth"), cat("max_dd"),
+    fw_dev = cat("final_wealth")
+    dev = reduce_report(fw_dev, cat("max_dd"),
                         cat("num_trades"), cat("valid"), cat("repaired"),
                         tuple(percentiles))
     host = {k2: np.asarray(v) for k2, v in dev.items()}
@@ -801,6 +813,48 @@ def monte_carlo_report(
             "win_rate_vs_spy": float(host["win_rate_vs_spy"][k2]),
             "ruin_frac": float(host["ruin_frac"][k2]),
         }
+
+    if tax_mode not in ("sampled", "exact_all", "none"):
+        raise ValueError(f"tax_mode must be sampled/exact_all/none, "
+                         f"got {tax_mode!r}")
+    if tax_mode != "none":
+        import time as _time
+
+        from letf_tpu import reporting as _reporting
+
+        t_tax = _time.perf_counter()
+        if tax_mode == "sampled":
+            post = _reporting.sampled_post_tax_tables(
+                model, fw_dev, time_horizon, num_simulations, seed,
+                tax_config, engine_mode, random_start_method, buffer_days,
+                bool(use_antithetic), percentiles,
+                cashflows=cashflows, anchors=anchors)
+            for sid, entry in post.items():
+                report["strategies"][sid]["post_tax"] = entry
+        else:
+            exact = _reporting.exact_post_tax_all_trials(
+                model, time_horizon, num_simulations,
+                tax_config=tax_config, seed=seed,
+                chunk_size=min(chunk_size, 4096),
+                percentiles=tuple(percentiles))
+            for sid, entry in exact.items():
+                report["strategies"][sid]["post_tax"] = {
+                    "wealth": {f"p{p}": entry[f"post_tax_p{p}"]
+                               for p in percentiles},
+                    "cagr": {f"p{p}": float(
+                        (max(entry[f"post_tax_p{p}"], 1e-12) / cap)
+                        ** (1.0 / time_horizon) - 1.0)
+                        for p in percentiles},
+                    "median_tax": entry["median_tax"],
+                    "n_sampled": entry["n_trials"],
+                    "method": "exact-all device bridge (every trial)",
+                }
+        report["post_tax_seconds"] = round(
+            _time.perf_counter() - t_tax, 3)
+        report["tax_mode"] = tax_mode
+        report["tax_config"] = {
+            k: (tax_config or _reporting.DEFAULT_TAX_CONFIG).get(k)
+            for k in ("state", "ordinary_income", "filing_status")}
     return report
 
 

@@ -22,19 +22,23 @@ def run_report(horizons: Optional[List[int]] = None,
                num_simulations: Optional[int] = None, seed: int = 0,
                force_synthetic: bool = False, model=None,
                chunk_size: Optional[int] = None,
-               chunks_per_dispatch: Optional[int] = None) -> Dict:
+               chunks_per_dispatch: Optional[int] = None,
+               tax_overrides: Optional[Dict] = None,
+               tax_mode: str = "sampled") -> Dict:
     """Production at-scale report pipeline: calibrate, then run each
     horizon through ``monte_carlo_report`` — the resident device-side
     chunk loop with the full percentile report reduced ON DEVICE, so it
     scales to 1M+ trials without materializing per-trial tensors (the
     reference's results-list pipeline holds every trial as a host dict,
-    letf/mc_runner.py:155-210). Returns {horizon: report dict}.
+    letf/mc_runner.py:155-210). Returns {horizon: report dict} with BOTH
+    pre- and post-tax fans (tax_mode: sampled / exact_all / none).
 
     ``model``: optional pre-built SimModel/regime dict — skips data fetch
     and calibration (used by tests and by callers that already calibrated).
     """
     from letf_tpu import config as cfg
     from letf_tpu.parallel.mc_runner import monte_carlo_report
+    from letf_tpu.reporting import DEFAULT_TAX_CONFIG, STATE_TAX_INFO
     from letf_tpu.tax.engine import run_golden_tests
 
     run_golden_tests(trace_failures=True)
@@ -45,12 +49,20 @@ def run_report(horizons: Optional[List[int]] = None,
         df = fetch_historical_data(force_synthetic=force_synthetic)
         model, _ = calibrate_all(df)
 
+    tax_config = dict(DEFAULT_TAX_CONFIG)
+    if tax_overrides:
+        tax_config.update(tax_overrides)
+        if "state" in tax_overrides:
+            tax_config["state_name"] = STATE_TAX_INFO[
+                tax_overrides["state"]]["name"]
+
     reports: Dict[int, Dict] = {}
     for horizon in (horizons or [10, 20, 30]):
         t0 = time.time()
         rep = monte_carlo_report(
             model, horizon, num_simulations=num_simulations, seed=seed,
-            chunk_size=chunk_size, chunks_per_dispatch=chunks_per_dispatch)
+            chunk_size=chunk_size, chunks_per_dispatch=chunks_per_dispatch,
+            tax_config=tax_config, tax_mode=tax_mode)
         dt = time.time() - t0
         reports[horizon] = rep
         print(f"\n{'=' * 72}")
@@ -66,6 +78,23 @@ def run_report(horizons: Optional[List[int]] = None,
             print(f"  {sid:<4s} {name:<28s} {fan}  "
                   f"{100 * s['win_rate_vs_spy']:4.0f}  "
                   f"{s['median_max_dd']:.2f}")
+        if tax_mode != "none":
+            print(f"\n  TAXABLE (post-tax, {tax_config['state']} "
+                  f"${tax_config['ordinary_income']:,} "
+                  f"{tax_config['filing_status']}; "
+                  f"{tax_mode}; +{rep.get('post_tax_seconds', 0):.1f}s)")
+            print(f"  {'sid':<4s} {'name':<28s} {hdr}  win%  medTax")
+            for sid, s in rep["strategies"].items():
+                pt = s.get("post_tax")
+                if pt is None:
+                    continue
+                fan = "  ".join(f"{pt['wealth'][f'p{p}']:>5.0f}"
+                                for p in rep["percentiles"])
+                name = cfg.STRATEGIES.get(sid, {}).get("name", "")[:28]
+                win = pt.get("win_rate_vs_spy_post_tax")
+                win_s = f"{100 * win:4.0f}" if win is not None else "   -"
+                print(f"  {sid:<4s} {name:<28s} {fan}  {win_s}  "
+                      f"{pt['median_tax']:>7.0f}")
     return reports
 
 

@@ -203,8 +203,47 @@ def test_run_report_orchestrator(model, capsys):
     direct = monte_carlo_report(model, 1, num_simulations=16, seed=9,
                                 chunk_size=8, chunks_per_dispatch=2)
     assert list(out) == [1]
-    assert out[1] == direct
-    assert "AT-SCALE REPORT" in capsys.readouterr().out
+    # post_tax_seconds is wall-clock — drop before the equality check.
+    a, b = dict(out[1]), dict(direct)
+    a.pop("post_tax_seconds"), b.pop("post_tax_seconds")
+    assert a == b
+    printed = capsys.readouterr().out
+    assert "AT-SCALE REPORT" in printed
+    assert "TAXABLE (post-tax" in printed
+
+
+def test_report_post_tax_sampled_equals_exact_at_small_n(model):
+    """The flagship report's taxable tables (VERDICT r3 missing #1): with
+    n <= MAX_TAX_SIMS every trial is sampled, the device interp returns
+    each trial's own exact tax, and the sampled post-tax fans must equal
+    the exact-all tensor path's percentiles."""
+    from letf_tpu.parallel.mc_runner import monte_carlo_report
+    from letf_tpu.reporting import exact_post_tax_all_trials
+
+    n = 16
+    rep = monte_carlo_report(model, 1, num_simulations=n, seed=9,
+                             chunk_size=8, chunks_per_dispatch=2)
+    assert rep["tax_mode"] == "sampled"
+    assert rep["post_tax_seconds"] > 0
+    exact = exact_post_tax_all_trials(
+        model, 1, n, seed=9, chunk_size=n,
+        percentiles=tuple(rep["percentiles"]))
+    for sid in ("S7", "S8", "S19"):
+        pt = rep["strategies"][sid]["post_tax"]
+        assert pt["n_sampled"] == n
+        for p in rep["percentiles"]:
+            np.testing.assert_allclose(
+                pt["wealth"][f"p{p}"], exact[sid][f"post_tax_p{p}"],
+                rtol=1e-9, atol=1e-9, err_msg=f"{sid} p{p}")
+    # exact_all mode routes the same tensors through the report shape.
+    rep2 = monte_carlo_report(model, 1, num_simulations=n, seed=9,
+                              chunk_size=8, chunks_per_dispatch=2,
+                              tax_mode="exact_all")
+    for sid in ("S7", "S19"):
+        for p in rep["percentiles"]:
+            np.testing.assert_allclose(
+                rep2["strategies"][sid]["post_tax"]["wealth"][f"p{p}"],
+                exact[sid][f"post_tax_p{p}"], rtol=1e-9, atol=1e-9)
 
 
 def test_regime_path_opt_in(model):
