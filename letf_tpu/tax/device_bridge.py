@@ -285,13 +285,24 @@ def _wash_matching_scan(loss, sell_sh, buy_q):
 def _wash_matching(loss, sell_sh, buy_q):
     """Dispatch: the Pallas in-kernel day loop on TPU (the scan's per-day
     body is ~15 tiny ops, so while-loop dispatch overhead dominates it
-    ~100x), the lax.scan everywhere else (CPU tests run it in f64)."""
+    ~100x), the lax.scan everywhere else (CPU tests run it in f64).
+
+    Non-multiple-of-1024 batches are zero-PADDED up to the kernel's tile
+    multiple rather than falling back to the scan: a padded row (no
+    losses, no sells, no buys) matches nothing and emits zeros, and the
+    scan fallback costs ~2 s per [B, 7560] call — it turned the flagship
+    report's 650-row sampled-tax batch into 8 s of wash matching."""
     B = loss.shape[0]
-    if (jax.default_backend() == "tpu" and loss.dtype == jnp.float32
-            and B % 1024 == 0):
+    if jax.default_backend() == "tpu" and loss.dtype == jnp.float32:
         from letf_tpu.ops.pallas_wash import wash_matching_pallas
 
-        return wash_matching_pallas(loss, sell_sh, buy_q)
+        pad = (-B) % 1024
+        if pad == 0:
+            return wash_matching_pallas(loss, sell_sh, buy_q)
+        pw = ((0, pad), (0, 0))
+        dis, rep_off, has = wash_matching_pallas(
+            jnp.pad(loss, pw), jnp.pad(sell_sh, pw), jnp.pad(buy_q, pw))
+        return dis[:B], rep_off[:B], has[:B]
     return _wash_matching_scan(loss, sell_sh, buy_q)
 
 
