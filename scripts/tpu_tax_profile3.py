@@ -89,35 +89,33 @@ def run_slab():
 
 t_slab = stage("same chunk, slab, no emission", run_slab)
 
-# 2. bridge per group
-stacked_groups = []
+# 2. bridge per group (stack + drop per group — holding every group's
+# stacked emission + activity live OOMed a 16 GB chip)
+t_bridge = 0.0
+last_act = None
 for grp in groups:
     gcols = jnp.asarray([c for _, c in grp])
     stacked = tuple(jnp.reshape(e[:, :, gcols], (S_e, B * len(grp)))
                     for e in emission)
-    stacked_groups.append((grp, stacked))
-
-t_bridge = 0.0
-acts = []
-for grp, stacked in stacked_groups:
     names = "+".join(s for s, _ in grp)
     def run_bridge(stacked=stacked):
         a, nt = yearly_activity_from_emission(*stacked, n_years=H)
         fetch(a)
         return a, nt
     t_bridge += stage(f"bridge [{names}]", run_bridge)
-    acts.append(run_bridge())
+    if last_act is not None:
+        del last_act
+    last_act = run_bridge()
+    del stacked
 
-# 3. netting
+# 3. netting (timed on the last group, scaled to all groups)
+a, nt = last_act
 def run_tax():
-    tot = 0.0
-    for a, nt in acts:
-        tax = total_tax_all_trials(a[..., :4], income, cfg.INITIAL_CAPITAL,
-                                   nt.astype(a.dtype) / H)
-        tot += fetch(tax["total_tax"])
-    return tot
+    tax = total_tax_all_trials(a[..., :4], income, cfg.INITIAL_CAPITAL,
+                               nt.astype(a.dtype) / H)
+    return fetch(tax["total_tax"])
 
-t_tax = stage("netting+brackets (all groups)", run_tax)
+t_tax = stage("netting+brackets (1 group)", run_tax) * len(groups)
 
 total = t_em + t_bridge + t_tax
 print(f"  {'TOTAL (emission+bridge+tax)':<28s} {total * 1000:8.1f} ms")
