@@ -291,7 +291,8 @@ def _resident_superchunk(mesh, n_chunks: int, chunk_size: int, sim_days: int,
 def _sharded_exact_tax_chunk(mesh, sim_days: int, buffer_days: int,
                              random_start_method: str, engine_mode: str,
                              n_years: int, groups_key, filing_status: str,
-                             state_code: str, max_spells: int | None = None):
+                             state_code: str, max_spells: int | None = None,
+                             assets_key=None):
     """SPMD exact-tax chunk (VERDICT r3 missing #2): emission + the
     wash-sale/FIFO device bridge + vectorized netting ALL inside one
     shard_map over the trial mesh — each device taxes its local trial
@@ -302,9 +303,12 @@ def _sharded_exact_tax_chunk(mesh, sim_days: int, buffer_days: int,
 
     ``groups_key``: tuple of tuples of journal-column indices — strategy
     groups folded into the bridge's batch axis (same grouping rule as the
-    single-device path: S8 isolated so the empty-SPY-leg runtime skip
-    keeps paying for the other 12). FIFO only (elected lot orders need a
-    host-synced lot capacity; they stay on the single-device path)."""
+    single-device path: S8 isolated so the empty-SPY-leg skip keeps
+    paying for the other 12). ``assets_key``: per-group STATIC
+    _BRIDGE_ASSETS index tuples (see yearly_activity_from_emission —
+    compile-time asset skip; a violated claim marks the whole group's
+    trials not-ok). FIFO only (elected lot orders need a host-synced lot
+    capacity; they stay on the single-device path)."""
     from jax.sharding import PartitionSpec as P
 
     from letf_tpu.tax.device_bridge import yearly_activity_from_emission
@@ -321,14 +325,22 @@ def _sharded_exact_tax_chunk(mesh, sim_days: int, buffer_days: int,
         S_e = emission[0].shape[0]
         Bl = trial_ids.shape[0]
         taxes, oks = [], []
-        for grp in groups_key:
+        for gi, grp in enumerate(groups_key):
             G = len(grp)
             gcols = jnp.asarray(list(grp))
             stacked = tuple(jnp.reshape(e[:, :, gcols], (S_e, Bl * G))
                             for e in emission)
-            activity, n_trades = yearly_activity_from_emission(
-                *stacked, n_years=n_years)
-            ok = jnp.all(jnp.isfinite(activity), axis=(1, 2))
+            if assets_key is not None:
+                activity, n_trades, skipped = (
+                    yearly_activity_from_emission(
+                        *stacked, n_years=n_years,
+                        assets=assets_key[gi]))
+            else:
+                activity, n_trades = yearly_activity_from_emission(
+                    *stacked, n_years=n_years)
+                skipped = jnp.zeros((), bool)
+            ok = (jnp.all(jnp.isfinite(activity), axis=(1, 2))
+                  & jnp.logical_not(skipped))
             tax = total_tax_all_trials(
                 activity[..., :4], income, cfg.INITIAL_CAPITAL,
                 n_trades.astype(activity.dtype) / n_years, **kw)

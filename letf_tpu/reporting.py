@@ -418,11 +418,14 @@ def exact_post_tax_all_trials(model, time_horizon: int,
                             if s == "S8"])
         flat_sids = [s for grp in sgroups for s, _ in grp]
         groups_key = tuple(tuple(c for _, c in grp) for grp in sgroups)
+        assets_key = tuple(
+            (0, 1) if any(s == "S8" for s, _ in grp) else (0,)
+            for grp in sgroups)
         sharded_fn = _sharded_exact_tax_chunk(
             mesh, sim_days, buffer_days, method, "institutional_v1",
             time_horizon, groups_key,
             tax_config.get("filing_status", "single").lower(),
-            tax_config.get("state", "CA"))
+            tax_config.get("state", "CA"), assets_key=assets_key)
         sharding = trial_sharding(mesh)
         model_dev = jax.tree.map(jnp.asarray, model)
 
@@ -487,9 +490,22 @@ def exact_post_tax_all_trials(model, time_horizon: int,
             stacked = tuple(jnp.reshape(e[:, :, jnp.asarray(gcols)],
                                         (S_e, n_here * G))
                             for e in emission)
-            activity, n_trades = yearly_activity_from_emission(
+            # Static per-group asset legs: only S8 trades SPY (it has
+            # its own group). Excluded assets are skipped at COMPILE
+            # time — the runtime lax.cond skip compiles both branches
+            # and OOM-killed the remote compile helper at folded batch
+            # shapes once the Pallas merges were inlined. The returned
+            # flag catches a violated static claim.
+            g_assets = (0, 1) if "S8" in gsids else (0,)
+            activity, n_trades, skipped = yearly_activity_from_emission(
                 *stacked, n_years=time_horizon, method=lot_method,
-                lot_capacity=lot_cap)
+                lot_capacity=lot_cap, assets=g_assets)
+            if bool(np.asarray(skipped)):
+                raise RuntimeError(
+                    f"group {gsids}: a statically-skipped bridge asset "
+                    "sold shares — the per-group asset map in "
+                    "exact_post_tax_all_trials is wrong for this "
+                    "strategy set")
             tax = total_tax_all_trials(
                 activity[..., :4], income, cfg.INITIAL_CAPITAL,
                 n_trades.astype(activity.dtype) / time_horizon, **kw)

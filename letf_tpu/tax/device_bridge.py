@@ -126,12 +126,39 @@ def replay_trades(tj_alloc, tj_value, tj_price, tj_asset):
 def _searchsorted_rows(a, v, side="right"):
     """Row-wise searchsorted: a [B, S] sorted per row, v [B, J].
 
-    method='sort' (one XLA variadic sort over keys+queries per row): the
-    default 'scan' method lowers to a binary-search while-loop of gathers,
-    which measured ~16 s for a [4096, 7560] query block on TPU — the sort
-    form runs in milliseconds."""
+    Small query counts (J <= 64: the per-year boundaries, the banded
+    frontier's tile starts) use a compare-count — #(a < v) ('left') or
+    #(a <= v) ('right') IS the insertion index for sorted a, one fused
+    broadcast-reduce instead of a [B, S + J] sort. Large J (the
+    _prefix_cost_ss test oracle) keeps method='sort': the default
+    'scan' method lowers to a binary-search while-loop of gathers,
+    which measured ~16 s for a [4096, 7560] query block on TPU."""
+    if v.shape[1] <= 64:
+        cmp = (a[:, None, :] <= v[:, :, None] if side == "right"
+               else a[:, None, :] < v[:, :, None])
+        return jnp.sum(cmp, axis=2).astype(jnp.int32)
     return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr, side=side,
                                                     method="sort"))(a, v)
+
+
+_FORCE_LAX_SORT = False     # tests monkeypatch True for TPU A/B parity
+
+
+def _use_pallas_sort(dt) -> bool:
+    """The Pallas bitonic networks replace the bridge's [B, 2S] lax.sort
+    calls on TPU/f32 (ops/pallas_sort.py: VMEM-resident stages vs XLA's
+    ~105-stage HBM network). The f64 CPU parity suite keeps lax.sort."""
+    return (not _FORCE_LAX_SORT and jax.default_backend() == "tpu"
+            and dt == jnp.float32)
+
+
+def _packed_pos(B: int, n: int):
+    """[B, n] i32 secondary sort key (tag << 24) | position, tag = 1 for
+    the second half: unique per row, and lexicographic (key, packed)
+    order equals the stable (key, tag) sort the lax.sort path uses."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(pos >= n // 2, jnp.int32(1 << 24) | pos, pos)
+    return jnp.broadcast_to(packed[None], (B, n))
 
 
 def _gather_rows(a, idx):
@@ -185,21 +212,35 @@ def _prefix_cost(take, cb_prev, q, p):
     dt = q.dtype
     pc_prev = jnp.cumsum(q * p, axis=1) - q * p         # cost of lots [0, i)
     m = jax.lax.cummax(cb_prev + q, axis=1)
-    day = jnp.broadcast_to(
-        jnp.arange(S, dtype=jnp.int32)[None], (B, S))
     z = jnp.zeros_like(take)
     val = jnp.concatenate([take, m], axis=1)             # [B, 2S]
-    tag = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
-                           jnp.ones((B, S), jnp.int32)], axis=1)
     pcv = jnp.concatenate([z, pc_prev], axis=1)
     cbpv = jnp.concatenate([z, cb_prev], axis=1)
     qv = jnp.concatenate([z, q], axis=1)
     pv = jnp.concatenate([z, p], axis=1)
-    dayv = jnp.concatenate([day, day], axis=1)
-    val, tag, pcv, cbpv, qv, pv, dayv = jax.lax.sort(
-        (val, tag, pcv, cbpv, qv, pv, dayv), dimension=1, num_keys=2,
-        is_stable=True)
-    is_lot = tag == 1
+    use_ps = _use_pallas_sort(dt)
+    if use_ps:
+        from letf_tpu.ops.pallas_sort import sort_bridge
+
+        # "valley": the query half is unsorted (and carries only zero
+        # payloads), the lot half is ascending (cummax keys, position-
+        # increasing packed ties). Bitwise-equal to the stable lax.sort
+        # below (unique (val, packed) composite).
+        packed = _packed_pos(B, 2 * S)
+        val, packed, pcv, cbpv, qv, pv = sort_bridge(
+            val, packed, (pcv, cbpv, qv, pv), kind="valley",
+            head_payloads_zero=True)
+        is_lot = packed >= (1 << 24)
+    else:
+        day = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        tag = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
+                               jnp.ones((B, S), jnp.int32)], axis=1)
+        dayv = jnp.concatenate([day, day], axis=1)
+        val, tag, pcv, cbpv, qv, pv, dayv = jax.lax.sort(
+            (val, tag, pcv, cbpv, qv, pv, dayv), dimension=1, num_keys=2,
+            is_stable=True)
+        is_lot = tag == 1
 
     def fill(a, b):
         """Suffix combine (reverse scan): the RIGHT side is nearer in
@@ -225,8 +266,13 @@ def _prefix_cost(take, cb_prev, q, p):
     part = jnp.clip(val - cbp_f, 0.0, q_f)               # val == take here
     cost = pc_f + part * p_f
     # Restore day order: (tag, day) pairs are unique; queries (tag 0)
-    # sort to the lower half in day order.
-    _, _, cost = jax.lax.sort((tag, dayv, cost), dimension=1, num_keys=2)
+    # sort to the lower half in day order. Ascending packed IS the
+    # (tag, day) order, so the Pallas path restores by it alone.
+    if use_ps:
+        _, cost = sort_bridge(packed, None, (cost,), kind="sort")
+    else:
+        _, _, cost = jax.lax.sort((tag, dayv, cost), dimension=1,
+                                  num_keys=2)
     return cost[:, :S]
 
 
@@ -475,16 +521,27 @@ def _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev, buy_q,
     # to 2^23 days in f32, S is ~7.5k), dropping a sort operand and a
     # fill array; the unpack below recovers the exact integers.
     key = jnp.concatenate([cb, cs], axis=1)                       # [B, 2S]
-    sec = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
-                           jnp.ones((B, S), jnp.int32)], axis=1)
     va = jnp.concatenate([basis_ps, price], axis=1)               # basis|p
     vb = jnp.concatenate(
         [orig.astype(dt) * 2.0,
          jnp.broadcast_to(days[None], (B, S)) * 2.0 + anybuy.astype(dt)],
         axis=1)
-    key, sec, va, vb = jax.lax.sort(
-        (key, sec, va, vb), dimension=1, num_keys=2, is_stable=True)
-    is_sell = sec == 1
+    if _use_pallas_sort(dt):
+        from letf_tpu.ops.pallas_sort import sort_bridge
+
+        # "merge": both halves ascending (cummax'd cumulative curves,
+        # position-increasing packed ties). Bitwise-equal to the stable
+        # lax.sort below (unique (key, packed) composite).
+        packed = _packed_pos(B, 2 * S)
+        key, packed, va, vb = sort_bridge(key, packed, (va, vb),
+                                          kind="merge")
+        is_sell = packed >= (1 << 24)
+    else:
+        sec = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
+                               jnp.ones((B, S), jnp.int32)], axis=1)
+        key, sec, va, vb = jax.lax.sort(
+            (key, sec, va, vb), dimension=1, num_keys=2, is_stable=True)
+        is_sell = sec == 1
 
     # Suffix fills: nearest element at-or-after of each type. With
     # reverse=True the scan combines op(suffix_after_i, element_i), so
@@ -784,32 +841,57 @@ def max_buy_events(tj_alloc, tj_value, tj_price, tj_asset) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n_years", "method",
-                                             "lot_capacity"))
+                                             "lot_capacity", "assets"))
 def yearly_activity_from_emission(tj_alloc, tj_value, tj_price, tj_asset,
                                   n_years: int, method: str = "FIFO",
-                                  lot_capacity: int | None = None):
+                                  lot_capacity: int | None = None,
+                                  assets: tuple | None = None):
     """Emission tensors for ONE strategy column ([S, B] slices) ->
     [B, Y, 5] yearly (st_gains, st_losses, lt_gains, lt_losses,
     wash_sale_disallowed), plus trade counts [B].
 
     The [..., :4] slice feeds tax.vectorized.total_tax_all_trials — exact
-    FIFO post-tax wealth for every trial on device."""
+    FIFO post-tax wealth for every trial on device.
+
+    ``assets``: STATIC tuple of _BRIDGE_ASSETS indices the caller knows
+    this batch can trade (only S8 trades the SPY leg). With it the
+    excluded assets are skipped at COMPILE time and the return gains a
+    third element — a scalar bool that is True iff a skipped asset
+    actually sold shares (callers must check it; the reference's wash
+    engine never silently drops an asset, wash_sale.py:256). Without it
+    (None), every asset runs behind a runtime lax.cond skip — but the
+    cond compiles BOTH branches, and the 2-asset program at folded
+    batch shapes OOM-kills the remote TPU compile helper once the
+    Pallas merge networks are inlined, which is what `assets` exists to
+    prevent."""
     tr = replay_trades(tj_alloc, tj_value, tj_price, tj_asset)
     out = None
+    viol = jnp.zeros((), bool)
     for k in range(len(_BRIDGE_ASSETS)):
         buy_k = tr["buy_sh"][..., k]
         sell_k = tr["sell_sh"][..., k]
-        # Runtime skip for assets the strategy never touches (only S8
-        # trades the SPY leg): lax.cond executes one branch, halving the
-        # bridge cost for 12 of the 13 taxable strategies.
-        act = jax.lax.cond(
-            jnp.any(sell_k > _MIN_SHARES),
-            lambda b, s, p: _asset_yearly_activity(
-                b, s, p, n_years, method=method,
-                lot_capacity=lot_capacity),
-            lambda b, s, p: jnp.zeros((b.shape[0], n_years, 5), b.dtype),
-            buy_k, sell_k, tr["price"])
+        if assets is not None and k not in assets:
+            viol = viol | jnp.any(sell_k > _MIN_SHARES)
+            continue
+        if assets is not None:
+            act = _asset_yearly_activity(buy_k, sell_k, tr["price"],
+                                         n_years, method=method,
+                                         lot_capacity=lot_capacity)
+        else:
+            # Runtime skip for assets the strategy never touches: the
+            # cond executes one branch, halving the bridge cost for 12
+            # of the 13 taxable strategies.
+            act = jax.lax.cond(
+                jnp.any(sell_k > _MIN_SHARES),
+                lambda b, s, p: _asset_yearly_activity(
+                    b, s, p, n_years, method=method,
+                    lot_capacity=lot_capacity),
+                lambda b, s, p: jnp.zeros((b.shape[0], n_years, 5),
+                                          b.dtype),
+                buy_k, sell_k, tr["price"])
         out = act if out is None else out + act
     n_trades = jnp.sum((tr["buy_sh"] > 0) | (tr["sell_sh"] > 0),
                        axis=(1, 2)).astype(jnp.int32)
-    return out, n_trades
+    if assets is None:
+        return out, n_trades
+    return out, n_trades, viol
