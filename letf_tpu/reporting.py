@@ -476,8 +476,14 @@ def exact_post_tax_all_trials(model, time_horizon: int,
         # overhead across every strategy instead of paying it 13 times.
         # S8 gets its own group: it is the only strategy trading the SPY
         # leg, and batching it with others would defeat the bridge's
-        # empty-asset runtime skip for the whole group.
-        gsz = max(1, 8192 // max(n_here, 1))
+        # empty-asset skip for the whole group. With the Pallas merge
+        # networks inlined (TPU/f32) the fold caps at 2048 rows: the
+        # remote compile helper is SIGKILLed (host OOM) AOT-compiling
+        # the folded bridge program at 4096+ rows, while the 2048-row
+        # unit is the measured-good compile size.
+        from letf_tpu.tax.device_bridge import _use_pallas_sort
+        fold_cap = 2048 if _use_pallas_sort(jnp.float32) else 8192
+        gsz = max(1, fold_cap // max(n_here, 1))
         pairs = [(s, c) for s, c in zip(strategy_ids, cols) if s != "S8"]
         groups = [pairs[g0:g0 + gsz] for g0 in range(0, len(pairs), gsz)]
         if "S8" in strategy_ids:
@@ -497,9 +503,20 @@ def exact_post_tax_all_trials(model, time_horizon: int,
             # shapes once the Pallas merges were inlined. The returned
             # flag catches a violated static claim.
             g_assets = (0, 1) if "S8" in gsids else (0,)
-            activity, n_trades, skipped = yearly_activity_from_emission(
-                *stacked, n_years=time_horizon, method=lot_method,
-                lot_capacity=lot_cap, assets=g_assets)
+            if fold_cap == 2048:
+                # TPU/f32: staged jit units — the fused module OOM-kills
+                # the remote compile helper (see yearly_activity_staged).
+                from letf_tpu.tax.device_bridge import (
+                    yearly_activity_staged,
+                )
+                activity, n_trades, skipped = yearly_activity_staged(
+                    *stacked, n_years=time_horizon, method=lot_method,
+                    lot_capacity=lot_cap, assets=g_assets)
+            else:
+                activity, n_trades, skipped = (
+                    yearly_activity_from_emission(
+                        *stacked, n_years=time_horizon, method=lot_method,
+                        lot_capacity=lot_cap, assets=g_assets))
             if bool(np.asarray(skipped)):
                 raise RuntimeError(
                     f"group {gsids}: a statically-skipped bridge asset "

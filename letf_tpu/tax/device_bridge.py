@@ -840,6 +840,51 @@ def max_buy_events(tj_alloc, tj_value, tj_price, tj_asset) -> int:
     return int(n)
 
 
+_asset_yearly_activity_jit = functools.partial(
+    jax.jit, static_argnames=("n_years", "method", "lot_capacity"))(
+        _asset_yearly_activity)
+
+
+@jax.jit
+def _replay_and_counts(tj_alloc, tj_value, tj_price, tj_asset):
+    tr = replay_trades(tj_alloc, tj_value, tj_price, tj_asset)
+    n_trades = jnp.sum((tr["buy_sh"] > 0) | (tr["sell_sh"] > 0),
+                       axis=(1, 2)).astype(jnp.int32)
+    skip_sold = jnp.stack([jnp.any(tr["sell_sh"][..., k] > _MIN_SHARES)
+                           for k in range(len(_BRIDGE_ASSETS))])
+    return tr, n_trades, skip_sold
+
+
+def yearly_activity_staged(tj_alloc, tj_value, tj_price, tj_asset,
+                           n_years: int, method: str = "FIFO",
+                           lot_capacity: int | None = None,
+                           assets: tuple = (0,)):
+    """yearly_activity_from_emission split into SEPARATE jit units
+    (replay+counts | one unit per asset) with identical outputs.
+
+    The remote TPU compile helper AOT-compiles each jit as one module
+    and is SIGKILLed (host OOM) on the fused bridge program once the
+    Pallas merge networks are inlined — even at the 2048-row fold. The
+    stage boundaries round-trip [B, S] intermediates through HBM
+    (~250 MB per tensor at the folded batch, well inside 16 GB) and add
+    one dispatch per unit; the per-asset module is the largest unit and
+    carries two merge-network instances instead of the fused module's
+    four-plus."""
+    tr, n_trades, skip_sold = _replay_and_counts(
+        tj_alloc, tj_value, tj_price, tj_asset)
+    out = None
+    viol = jnp.zeros((), bool)
+    for k in range(len(_BRIDGE_ASSETS)):
+        if k not in assets:
+            viol = viol | skip_sold[k]
+            continue
+        act = _asset_yearly_activity_jit(
+            tr["buy_sh"][..., k], tr["sell_sh"][..., k], tr["price"],
+            n_years, method=method, lot_capacity=lot_capacity)
+        out = act if out is None else out + act
+    return out, n_trades, viol
+
+
 @functools.partial(jax.jit, static_argnames=("n_years", "method",
                                              "lot_capacity", "assets"))
 def yearly_activity_from_emission(tj_alloc, tj_value, tj_price, tj_asset,

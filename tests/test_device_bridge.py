@@ -274,3 +274,29 @@ def test_prefix_cost_merge_matches_searchsorted_f32():
                                    jnp.asarray(p)))
     assert a.dtype == np.float32
     np.testing.assert_allclose(a, b, rtol=3e-6, atol=0.0)
+
+
+def test_staged_bridge_matches_fused_bitwise(emission):
+    """yearly_activity_staged (separate jit units — the remote TPU
+    compile helper OOMs on the fused module once the Pallas merges are
+    inlined) must be BITWISE equal to yearly_activity_from_emission,
+    and its static-skip violation flag must fire when the skipped asset
+    actually sold shares."""
+    from letf_tpu.tax.device_bridge import yearly_activity_staged
+
+    res, years, B = emission
+    col = 1          # S8: trades both bridge assets
+    args = (res.tj_alloc[:, :, col], res.tj_value[:, :, col],
+            res.tj_price[:, :, col], res.tj_asset[:, :, col])
+    a1, n1, v1 = yearly_activity_from_emission(*args, n_years=years,
+                                               assets=(0, 1))
+    a2, n2, v2 = yearly_activity_staged(*args, n_years=years,
+                                        assets=(0, 1))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    assert not bool(v1) and not bool(v2)
+    # S8 sells SPY: claiming TQQQ-only must raise the flag on BOTH paths.
+    _, _, v3 = yearly_activity_staged(*args, n_years=years, assets=(0,))
+    _, _, v4 = yearly_activity_from_emission(*args, n_years=years,
+                                             assets=(0,))
+    assert bool(v3) and bool(v4)
