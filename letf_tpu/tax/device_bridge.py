@@ -147,7 +147,13 @@ _FORCE_LAX_SORT = False     # tests monkeypatch True for TPU A/B parity
 def _use_pallas_sort(dt) -> bool:
     """The Pallas bitonic networks replace the bridge's [B, 2S] lax.sort
     calls on TPU/f32 (ops/pallas_sort.py: VMEM-resident stages vs XLA's
-    ~105-stage HBM network). The f64 CPU parity suite keeps lax.sort."""
+    ~105-stage HBM network). The f64 CPU parity suite keeps lax.sort.
+    LETF_TPU_FORCE_LAX_SORT=1 forces the lax path — used to run long
+    captures entirely from the persistent compile cache when the remote
+    compile helper is in its OOM-degraded state (CLAUDE.md)."""
+    import os
+    if os.environ.get("LETF_TPU_FORCE_LAX_SORT") == "1":
+        return False
     return (not _FORCE_LAX_SORT and jax.default_backend() == "tpu"
             and dt == jnp.float32)
 
