@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time as _time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -430,6 +431,17 @@ def exact_post_tax_all_trials(model, time_horizon: int,
         model_dev = jax.tree.map(jnp.asarray, model)
 
     n_done = 0
+    _t0 = _time.perf_counter()
+    _progress = os.environ.get("LETF_TPU_TAX_PROGRESS")
+
+    def _tick(done):
+        if _progress:
+            dt = _time.perf_counter() - _t0
+            print(f"[exact-tax] {done}/{num_simulations} trials, "
+                  f"{dt:.1f}s elapsed "
+                  f"({dt / max(done, 1) * 1e3:.1f} ms/trial)",
+                  file=sys.stderr, flush=True)
+
     while n_done < num_simulations:
         n_here = min(chunk_size, num_simulations - n_done)
         sl = slice(n_done, n_done + n_here)
@@ -456,6 +468,7 @@ def exact_post_tax_all_trials(model, time_horizon: int,
                 post[sid].append(
                     np.maximum(w[~bad] - tax_all[~bad, gi], 0.0))
             n_done += n_here
+            _tick(n_done)
             continue
         summaries, emission = _mc_chunk(
             model, key, jnp.asarray(ids[sl], jnp.int32),
@@ -553,6 +566,7 @@ def exact_post_tax_all_trials(model, time_horizon: int,
                 post[sid].append(
                     np.maximum(w[~bad] - total[~bad, gi], 0.0))
         n_done += n_here
+        _tick(n_done)
 
     out = {}
     for sid in strategy_ids:
