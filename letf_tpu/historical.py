@@ -303,7 +303,8 @@ def backtest_strategies_on_history(df: pd.DataFrame, horizon: int,
         start_offset=jnp.asarray(starts), start_regime=jnp.zeros(W, jnp.int32),
         initial_vix=jnp.asarray(vix[starts]),
         jump_days=jnp.zeros(W, jnp.int32), liq_mean=zeros, credit_mean=zeros,
-        valid=jnp.ones(W, bool), repaired=jnp.zeros(W, bool))
+        valid=jnp.ones(W, bool), repaired=jnp.zeros(W, bool),
+        path_finite=jnp.ones(W, bool), vix_ok=jnp.ones(W, bool))
     res = run_strategies_batch(path, compute_signals(path), apply_costs=True)
     fw = np.asarray(res.final_wealth)                        # [W, 19]
     out = {}

@@ -986,7 +986,7 @@ def _finish_path(model, innov, etf_ret, tlt, spy, qqq, vix, regime,
         start_offset=innov.start_offset, start_regime=innov.start_regime,
         initial_vix=innov.initial_vix, jump_days=jump_days,
         liq_mean=liq_mean, credit_mean=cred_mean, valid=valid,
-        repaired=repaired)
+        repaired=repaired, path_finite=finite_pre, vix_ok=vix_ok)
 
 
 def generate_paths_batched(model: SimModel, run_key, trial_ids, antithetic,

@@ -57,6 +57,14 @@ class PathOutputs(NamedTuple):
     valid: jax.Array         # scalar bool: POST-repair layer checks
     repaired: jax.Array      # scalar bool: failed pre-repair checks and got
                              # the bound-and-zero repair pass applied
+    # Split validity components (VERDICT r4 next #5): the combined
+    # reference-faithful flag saturates at 30y (the reference's VIX-range
+    # check has no matching upper clip in its VIX process, engine.py:115
+    # vs :226-229, so nearly every long path trips it) — these two
+    # discriminate. valid == vix_ok (post-repair); repaired ==
+    # ~(path_finite & vix_ok).
+    path_finite: jax.Array = None   # scalar bool: pre-repair finite returns
+    vix_ok: jax.Array = None        # scalar bool: 5 <= VIX <= 120 all days
 
 
 def _chol3(c):
@@ -611,7 +619,7 @@ def path_from_innovations(model: SimModel, innov: Innovations,
         start_offset=innov.start_offset, start_regime=innov.start_regime,
         initial_vix=innov.initial_vix, jump_days=jump_days,
         liq_mean=liq_mean, credit_mean=cred_mean, valid=valid,
-        repaired=repaired)
+        repaired=repaired, path_finite=finite_pre, vix_ok=vix_ok)
 
 
 @functools.partial(

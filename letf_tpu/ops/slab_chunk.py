@@ -146,6 +146,7 @@ def slab_chunk_summaries(model: SimModel, run_key, trial_ids, antithetic,
     out = dict(
         final_wealth=fw, num_trades=nt, max_dd=mdd,
         valid=valid, repaired=repaired,
+        path_finite=path_finite, vix_ok=vix_ok,
         start_offset=innov.start_offset, start_regime=innov.start_regime,
         jump_days=jc.astype(jnp.int32),
         liq_mean=ls / sim_days, credit_mean=cs / sim_days,

@@ -42,6 +42,10 @@ class MCArrays:
     max_dd: np.ndarray          # [N, 19]
     valid: np.ndarray           # [N] bool (post-repair layer checks)
     repaired: np.ndarray        # [N] bool (failed pre-repair checks)
+    path_finite: np.ndarray     # [N] bool (pre-repair finite returns —
+    # the discriminating half of the split validity flag; VERDICT r4 #5)
+    vix_ok: np.ndarray          # [N] bool (5 <= VIX <= 120 all days — the
+    # reference-faithful check that saturates at 30y)
     start_offset: np.ndarray    # [N]
     start_regime: np.ndarray    # [N]
     jump_days: np.ndarray       # [N]
@@ -107,6 +111,7 @@ def _mc_chunk_body(model: SimModel, run_key, trial_ids, antithetic,
     summaries = dict(
         final_wealth=res.final_wealth, num_trades=res.num_trades,
         max_dd=res.max_dd, valid=path.valid, repaired=path.repaired,
+        path_finite=path.path_finite, vix_ok=path.vix_ok,
         start_offset=path.start_offset, start_regime=path.start_regime,
         jump_days=path.jump_days, liq_mean=path.liq_mean,
         credit_mean=path.credit_mean, regime_high_days=regime_high)
@@ -188,6 +193,7 @@ def _failed_chunk_summaries(n: int) -> Dict[str, np.ndarray]:
         num_trades=np.zeros((n, ns), np.int32),
         max_dd=np.full((n, ns), np.nan, np.float32),
         valid=np.zeros(n, bool), repaired=np.zeros(n, bool),
+        path_finite=np.zeros(n, bool), vix_ok=np.zeros(n, bool),
         start_offset=np.zeros(n, np.int32),
         start_regime=np.zeros(n, np.int32),
         jump_days=np.zeros(n, np.int32),
@@ -841,7 +847,8 @@ def monte_carlo_report(
         return jax.device_put(a, replicated)[:num_simulations]
 
     @functools.partial(jax.jit, static_argnames=("pcts",))
-    def reduce_report(fw, mdd, nt, valid, repaired, pcts):
+    def reduce_report(fw, mdd, nt, valid, repaired, path_finite, vix_ok,
+                      pcts):
         q = jnp.asarray(pcts, fw.dtype)
         fan = jnp.percentile(fw, q, axis=0)             # [P, 19]
         spy = fw[:, cfg.STRATEGY_INDEX["S2"]]
@@ -853,12 +860,15 @@ def monte_carlo_report(
             win_rate_vs_spy=win,
             valid_frac=jnp.mean(valid.astype(fw.dtype)),
             repaired_frac=jnp.mean(repaired.astype(fw.dtype)),
+            finite_frac=jnp.mean(path_finite.astype(fw.dtype)),
+            vix_ok_frac=jnp.mean(vix_ok.astype(fw.dtype)),
             ruin_frac=jnp.mean((fw <= 0.0).astype(fw.dtype), axis=0),
         )
 
     fw_dev = cat("final_wealth")
     dev = reduce_report(fw_dev, cat("max_dd"),
                         cat("num_trades"), cat("valid"), cat("repaired"),
+                        cat("path_finite"), cat("vix_ok"),
                         tuple(percentiles))
     host = {k2: np.asarray(v) for k2, v in dev.items()}
 
@@ -869,6 +879,11 @@ def monte_carlo_report(
         "percentiles": list(percentiles),
         "valid_frac": float(host["valid_frac"]),
         "repaired_frac": float(host["repaired_frac"]),
+        # Split validity (VERDICT r4 next #5): finite_frac discriminates a
+        # real numeric regression; vix_ok_frac is the reference-faithful
+        # check that saturates at long horizons (valid == vix_ok).
+        "finite_frac": float(host["finite_frac"]),
+        "vix_ok_frac": float(host["vix_ok_frac"]),
         "strategies": {},
     }
     for sid in sids:
@@ -1067,6 +1082,8 @@ def parallel_monte_carlo_fixed(strategy_ids, time_horizon, regime_model,
             "layer_checks": {
                 "is_valid": bool(arrays.valid[i]),
                 "repaired_after_validation": bool(arrays.repaired[i]),
+                "returns_finite": bool(arrays.path_finite[i]),
+                "vix_in_range": bool(arrays.vix_ok[i]),
             },
             "stress_summary": {
                 "liq_mean": float(arrays.liq_mean[i]),

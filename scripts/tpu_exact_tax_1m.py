@@ -5,7 +5,7 @@ interpolates the rest, reporting.py:455-509).
 
 Usage: python scripts/tpu_exact_tax_1m.py [n_trials]   (default 1,048,576)
 
-Writes EXACT_TAX_SCALE_r04.json at the repo root: wall-clock, trial count,
+Writes EXACT_TAX_SCALE_r05.json at the repo root: wall-clock, trial count,
 per-strategy pre/post-tax percentile fans, median tax — a REAL measured
 run at the recorded scale, never an extrapolation. Guards:
 - finiteness gate: exact_post_tax_all_trials raises on any non-finite
@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from letf_tpu.models.params import default_sim_model  # noqa: E402
 from letf_tpu.reporting import exact_post_tax_all_trials  # noqa: E402
 
-ARTIFACT = "/root/repo/EXACT_TAX_SCALE_r04.json"
+ARTIFACT = "/root/repo/EXACT_TAX_SCALE_r05.json"
 
 model = default_sim_model()
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
@@ -66,6 +66,7 @@ for sid, d in rec["per_strategy"].items():
         sys.exit(f"non-finite values leaked into the record for {sid}: {bad}")
 with open(ARTIFACT, "w") as f:
     json.dump(rec, f, indent=1, allow_nan=False)
+    f.write("\n")
 print(json.dumps({k: rec[k] for k in ("trials", "seconds", "minutes")}),
       flush=True)
 print("S7:", rec["per_strategy"]["S7"], flush=True)

@@ -71,10 +71,12 @@ def test_exact_tax_scale_artifacts_complete():
 
 
 def test_bench_full_record_gates():
-    """BENCH_FULL_r04.json (when present) must carry an empty
+    """Every committed BENCH_FULL record must carry an empty
     nonfinite_paths list — the sanitizer records every laundered value."""
-    p = ROOT / "BENCH_FULL_r04.json"
-    if not p.exists():
-        pytest.skip("full bench record not yet generated this round")
-    data = _strict_load(p)
-    assert data.get("nonfinite_paths") == [], data.get("nonfinite_paths")
+    records = sorted(ROOT.glob("BENCH_FULL_r*.json"))
+    if not records:
+        pytest.skip("no full bench record committed yet")
+    for p in records:
+        data = _strict_load(p)
+        assert data.get("nonfinite_paths") == [], (
+            p.name, data.get("nonfinite_paths"))

@@ -189,6 +189,10 @@ def test_monte_carlo_report_matches_raw_arrays(model):
     assert rep["strategies"]["S7"]["win_rate_vs_spy"] == pytest.approx(
         float(np.mean(arr.final_wealth[:, k7] > spy)))
     assert rep["valid_frac"] == pytest.approx(float(arr.valid.mean()))
+    # Split validity flags (VERDICT r4 next #5) flow through both APIs.
+    assert rep["finite_frac"] == pytest.approx(float(arr.path_finite.mean()))
+    assert rep["vix_ok_frac"] == pytest.approx(float(arr.vix_ok.mean()))
+    np.testing.assert_array_equal(arr.vix_ok, arr.valid)
 
 
 def test_run_report_orchestrator(model, capsys):

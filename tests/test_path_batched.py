@@ -98,6 +98,12 @@ def test_repair_pass_bounds_invalid_paths(model):
     assert (etf >= -0.999).all() and (etf <= 10.0).all()
     # The repaired trial passes post-repair validation (VIX untouched).
     assert bool(path.valid[1])
+    # Split validity flags (VERDICT r4 next #5): path_finite is the
+    # discriminating pre-repair finite-returns check; vix_ok mirrors the
+    # reference's VIX-range check and equals the combined post-repair flag.
+    assert not bool(path.path_finite[1]) and bool(path.path_finite[0])
+    np.testing.assert_array_equal(np.asarray(path.vix_ok),
+                                  np.asarray(path.valid))
 
 
 def test_window_offsets_pallas_interpret_exact():
