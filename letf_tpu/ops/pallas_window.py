@@ -128,6 +128,125 @@ def _window_kernel(offs_ref, *refs, n_levels: int, day_block: int,
     out_ref[0] = win
 
 
+def _window_kernel_4d(offs_ref, *refs, n_levels: int, day_block: int,
+                      n_blocks: int, max_off_pad: int, sub: int,
+                      has_bias: bool = False):
+    """One (plane, REVERSED day-block) program over the native 4D slab.
+
+    The round-3 kernel (_window_kernel below) needed the slab transposed
+    to [H, T, 128] planes on the way in and back on the way out, plus a
+    staged lookahead-tails tensor — ~3x the minimum HBM traffic for what
+    is one read + one write of data movement (the whole 32 ms window
+    stage was bandwidth-bound on those passes). This kernel reads the
+    [G, T, sub, 128] slab DIRECTLY, one (1, day_block, 1, 128) sublane
+    plane per program, with day blocks iterated in REVERSE grid order:
+    block b's lookahead tail is the head of block b+1, which the previous
+    grid step saved into persistent scratch after its own shifts — so the
+    slab is read exactly once (the only extra input is the final block's
+    tail, a [G, max_off_pad, sub, 128] slice fetched once per plane).
+    Requires day_block >= max_off_pad (the tail may not span two blocks);
+    window_offsets_slab falls back to the transpose path otherwise.
+
+    Shift-select levels and bitwise semantics identical to _window_kernel
+    (see its docstring); output is bit-identical to the gather.
+    """
+    if has_bias:
+        bias_ref, body_ref, last_tail_ref, out_ref, xs_ref, tail_ref = refs
+    else:
+        body_ref, last_tail_ref, out_ref, xs_ref, tail_ref = refs
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    n_tiles = offs_ref.shape[0]
+    rows = xs_ref.shape[0]
+    offs = offs_ref[g % n_tiles, :]
+    off_min = jnp.min(offs)
+    res = offs - off_min
+    res_max = jnp.max(res)
+
+    @pl.when(j == 0)
+    def _():
+        # First grid step per plane = LAST day block: its lookahead rows
+        # live past the output span, streamed via the dedicated input.
+        tail_ref[...] = pltpu.bitcast(last_tail_ref[0, :, 0, :], jnp.int32)
+
+    xs_ref[0:day_block] = pltpu.bitcast(body_ref[0, :, 0, :], jnp.int32)
+    xs_ref[day_block:rows] = tail_ref[...]
+    # The current body's head is the PREVIOUS block's lookahead tail —
+    # saved now (body_ref is read-only; the shifts mutate xs_ref only).
+    tail_ref[...] = pltpu.bitcast(body_ref[0, 0:max_off_pad, 0, :],
+                                  jnp.int32)
+    for k in reversed(range(n_levels)):
+        shift = (1 << k) % rows
+
+        @pl.when(res_max >= (1 << k))
+        def _():
+            x = xs_ref[...]
+            mask = -((res >> k) & 1)              # 0 or all-ones, per lane
+            rolled = pltpu.roll(x, rows - shift, 0)
+            xs_ref[...] = (rolled & mask[None, :]) | (x & ~mask[None, :])
+    win = pltpu.bitcast(xs_ref[pl.dslice(off_min, day_block)], jnp.float32)
+    if has_bias:
+        win = win + bias_ref[g % n_tiles, :][None, :]
+    out_ref[0, :, 0, :] = win
+
+
+def _window_tiles_4d(slabs4, offs_rows, sim_days: int, interpret: bool,
+                     bias_rows=None):
+    """Direct-slab windowing: slabs4 [G, T, sub, 128] f32 ->
+    [G, sim_days, sub, 128], one HBM read + one write (no transposes, no
+    staged tails). offs_rows/bias_rows: [G*sub, 128], row g*sub + i for
+    sublane plane (g, i). Caller guarantees day_block >= max_off_pad."""
+    G, T, sub, _ = slabs4.shape
+    max_off = T - sim_days
+    n_levels = max(1, int(max_off).bit_length())
+    max_off_pad = -(-max_off // 8) * 8
+    day_block, n_blocks = _plan_blocks(sim_days, max_off_pad)
+    assert day_block >= max_off_pad, (day_block, max_off_pad)
+    S_pad = n_blocks * day_block
+    T_pad = S_pad + max_off_pad
+    if T_pad != T:
+        slabs4 = jnp.pad(slabs4, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+    last_tails = slabs4[:, S_pad:S_pad + max_off_pad]   # [G, mop, sub, 128]
+
+    has_bias = bias_rows is not None
+    kernel = functools.partial(
+        _window_kernel_4d, n_levels=n_levels, day_block=day_block,
+        n_blocks=n_blocks, max_off_pad=max_off_pad, sub=sub,
+        has_bias=has_bias)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]   # offs: full array
+    ins = [offs_rows]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias rows
+        ins.append(bias_rows.astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((1, day_block, 1, _LANES),
+                     lambda g, j: (g // sub, n_blocks - 1 - j, g % sub, 0),
+                     memory_space=pltpu.VMEM),           # body (reversed)
+        pl.BlockSpec((1, max_off_pad, 1, _LANES),
+                     lambda g, j: (g // sub, 0, g % sub, 0),
+                     memory_space=pltpu.VMEM),           # last block's tail
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(G * sub, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, day_block, 1, _LANES),
+            lambda g, j: (g // sub, n_blocks - 1 - j, g % sub, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, S_pad, sub, _LANES),
+                                       slabs4.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((day_block + max_off_pad, _LANES), jnp.int32),
+            pltpu.VMEM((max_off_pad, _LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            **({"vmem_limit_bytes": _VMEM_MB * 2**20} if _VMEM_MB else {})),
+        interpret=interpret,
+    )(*ins, slabs4, last_tails)
+    return out[:, :sim_days]
+
+
 def _window_tiles(slabs, offs_rows, sim_days: int, interpret: bool,
                   bias_rows=None):
     """Core shift-select windowing over pre-tiled planes.
@@ -218,10 +337,20 @@ def window_offsets_slab(x_slab, offs, sim_days: int,
     assert x_slab.dtype == jnp.float32, x_slab.dtype
     if T == sim_days:
         return x_slab if bias is None else x_slab + bias[:, None]
-    xt = x_slab.transpose(0, 2, 1, 3).reshape(G * sub, T, _LANES)
     offs_rows = offs.astype(jnp.int32).reshape(G * sub, _LANES)
     bias_rows = (None if bias is None
                  else bias.reshape(G * sub, _LANES))
+    max_off_pad = -(-(T - sim_days) // 8) * 8
+    if max_off_pad + 8 <= _ROW_BUDGET:
+        day_block, _nb = _plan_blocks(sim_days, max_off_pad)
+        if day_block >= max_off_pad:
+            # Direct-slab path: one HBM read + one write (no transposes,
+            # no staged tails — those passes were ~2/3 of the stage's
+            # bandwidth). Bit-identical output; production horizons
+            # (10y+) always satisfy day_block >= max_off_pad.
+            return _window_tiles_4d(x_slab, offs_rows, sim_days,
+                                    interpret, bias_rows)
+    xt = x_slab.transpose(0, 2, 1, 3).reshape(G * sub, T, _LANES)
     out = _window_tiles(xt, offs_rows, sim_days, interpret, bias_rows)
     return (out.reshape(G, sub, sim_days, _LANES)
             .transpose(0, 2, 1, 3))

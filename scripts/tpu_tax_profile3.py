@@ -41,7 +41,13 @@ income = jnp.asarray(simulate_wired_income_path(150000, H, seed=42))
 
 strategy_ids = list(cfg.TAXABLE_IDS)
 cols = list(range(len(strategy_ids)))
-gsz = max(1, 8192 // B)
+# PRODUCTION grouping (reporting.exact_post_tax_all_trials): on TPU/f32
+# with the Pallas merges inlined the fold caps at 2048 rows — the 8192-row
+# fold OOM-kills the remote compile helper (observed again 2026-08-20).
+from letf_tpu.tax.device_bridge import _use_pallas_sort  # noqa: E402
+
+fold_cap = 2048 if _use_pallas_sort(jnp.float32) else 8192
+gsz = max(1, fold_cap // B)
 pairs = [(s, c) for s, c in zip(strategy_ids, cols) if s != "S8"]
 groups = [pairs[g0:g0 + gsz] for g0 in range(0, len(pairs), gsz)]
 groups.append([(s, c) for s, c in zip(strategy_ids, cols) if s == "S8"])
@@ -93,13 +99,21 @@ t_slab = stage("same chunk, slab, no emission", run_slab)
 # stacked emission + activity live OOMed a 16 GB chip)
 t_bridge = 0.0
 last_act = None
+from letf_tpu.tax.device_bridge import yearly_activity_staged  # noqa: E402
+
 for grp in groups:
     gcols = jnp.asarray([c for _, c in grp])
     stacked = tuple(jnp.reshape(e[:, :, gcols], (S_e, B * len(grp)))
                     for e in emission)
     names = "+".join(s for s, _ in grp)
-    def run_bridge(stacked=stacked):
-        a, nt = yearly_activity_from_emission(*stacked, n_years=H)
+    g_assets = (0, 1) if "S8" in [s for s, _ in grp] else (0,)
+    def run_bridge(stacked=stacked, g_assets=g_assets):
+        if fold_cap == 2048:
+            a, nt, _sk = yearly_activity_staged(*stacked, n_years=H,
+                                                assets=g_assets)
+        else:
+            a, nt, _sk = yearly_activity_from_emission(
+                *stacked, n_years=H, assets=g_assets)
         fetch(a)
         return a, nt
     t_bridge += stage(f"bridge [{names}]", run_bridge)

@@ -419,6 +419,48 @@ def test_window_offsets_slab_interpret_exact():
     np.testing.assert_array_equal(ref + bias_b[:, None], got2_b)
 
 
+def test_window_offsets_slab_4d_multiblock_exact(monkeypatch):
+    """The direct-slab kernel's reversed-grid tail carry (block b's
+    lookahead = block b+1's head, saved in scratch across grid steps) is
+    only exercised with >= 2 day blocks — force a tiny row budget so the
+    planner splits, and check bit-exactness incl. NaN payloads. Also pin
+    the fallback: day_block < max_off_pad must route to the transpose
+    path and still be exact."""
+    from letf_tpu.ops import pallas_window as pw
+
+    G, T, S = 2, 380, 256
+    B = G * 1024
+    x = jax.random.normal(jax.random.key(3), (G, T, 8, 128), jnp.float32)
+    x = x.at[0, 17, 2, 5].set(jnp.nan)
+    offs = np.random.default_rng(5).integers(0, T - S + 1, B).astype(np.int32)
+    offs[0], offs[-1] = 0, T - S
+    xb = np.asarray(x).transpose(0, 2, 3, 1).reshape(B, T)
+    ref = np.take_along_axis(
+        xb, offs[:, None] + np.arange(S)[None, :], axis=1)
+
+    # max_off_pad = 128; budget 256 -> day_block 128, n_blocks 2 (>= 2
+    # blocks, day_block >= max_off_pad: the 4D tail-carry path).
+    monkeypatch.setattr(pw, "_ROW_BUDGET", 256)
+    assert pw._plan_blocks(S, 128) == (128, 2)
+    got = pw.window_offsets_slab(x, jnp.asarray(offs), S, interpret=True)
+    got_b = np.asarray(got).transpose(0, 2, 3, 1).reshape(B, S)
+    np.testing.assert_array_equal(ref, got_b)
+
+    # Shorter window: day_block (96) < max_off_pad (288) -> transpose
+    # fallback, still bit-exact.
+    S2 = 96
+    monkeypatch.setattr(pw, "_ROW_BUDGET", 16384)
+    db2, _ = pw._plan_blocks(S2, -(-(T - S2) // 8) * 8)
+    assert db2 < -(-(T - S2) // 8) * 8
+    offs2 = np.random.default_rng(6).integers(0, T - S2 + 1, B)
+    ref2 = np.take_along_axis(
+        xb, offs2[:, None] + np.arange(S2)[None, :], axis=1)
+    got2 = pw.window_offsets_slab(
+        x, jnp.asarray(offs2.astype(np.int32)), S2, interpret=True)
+    got2_b = np.asarray(got2).transpose(0, 2, 3, 1).reshape(B, S2)
+    np.testing.assert_array_equal(ref2, got2_b)
+
+
 @pytest.mark.skipif(jax.devices()[0].platform != "tpu",
                     reason="slab chunk composes TPU-only kernels")
 def test_slab_chunk_overlays_match_kernel_path():
