@@ -128,24 +128,44 @@ def _window_kernel(offs_ref, *refs, n_levels: int, day_block: int,
     out_ref[0] = win
 
 
+# Working-set budget of the direct-slab (4D) kernel, in (_SP x 128 x 4 B)
+# rows — see _plan_blocks_4d. 15360 rows ~= 60 MB.
+_ROW_BUDGET_4D = 15360
+_SP = 8        # sublane planes per program (Mosaic: block sublane dim
+#                must be divisible by 8 — a (…, 1, 128) plane block fails
+#                TPU lowering outright, observed on hardware 2026-08-20)
+
+
 def _window_kernel_4d(offs_ref, *refs, n_levels: int, day_block: int,
                       n_blocks: int, max_off_pad: int, sub: int,
                       has_bias: bool = False):
-    """One (plane, REVERSED day-block) program over the native 4D slab.
+    """One (plane-group, REVERSED day-block) program over the native 4D
+    slab.
 
     The round-3 kernel (_window_kernel below) needed the slab transposed
     to [H, T, 128] planes on the way in and back on the way out, plus a
     staged lookahead-tails tensor — ~3x the minimum HBM traffic for what
     is one read + one write of data movement (the whole 32 ms window
     stage was bandwidth-bound on those passes). This kernel reads the
-    [G, T, sub, 128] slab DIRECTLY, one (1, day_block, 1, 128) sublane
-    plane per program, with day blocks iterated in REVERSE grid order:
-    block b's lookahead tail is the head of block b+1, which the previous
-    grid step saved into persistent scratch after its own shifts — so the
+    [G, T, sub, 128] slab DIRECTLY, one (1, day_block, _SP, 128) block
+    of _SP sublane planes per program (Mosaic requires the block sublane
+    dim divisible by 8 — a single-plane (…, 1, 128) block fails TPU
+    lowering), with day blocks iterated in REVERSE grid order: block b's
+    lookahead tail is the head of block b+1, which the previous grid
+    step saved into persistent scratch after its own shifts — so the
     slab is read exactly once (the only extra input is the final block's
-    tail, a [G, max_off_pad, sub, 128] slice fetched once per plane).
-    Requires day_block >= max_off_pad (the tail may not span two blocks);
-    window_offsets_slab falls back to the transpose path otherwise.
+    tail, a [G, max_off_pad, sub, 128] slice fetched once per plane
+    group). Requires day_block >= max_off_pad (the tail may not span two
+    blocks); window_offsets_slab falls back to the transpose path
+    otherwise.
+
+    The residual decomposition works per GROUP: off_min is the min over
+    the program's _SP x 128 lanes (one scalar, so it can fold into the
+    output store's dynamic-slice start), residuals cover the group's
+    offset spread — the slab pipeline sorts trial lanes by offset, so a
+    group of _SP*128 consecutive sorted trials stays tight. Level rolls
+    are STATIC slices along axis 0 (shift = (1 << k) % rows is a Python
+    int), so no 3D pltpu.roll support is needed.
 
     Shift-select levels and bitwise semantics identical to _window_kernel
     (see its docstring); output is bit-identical to the gather.
@@ -156,38 +176,61 @@ def _window_kernel_4d(offs_ref, *refs, n_levels: int, day_block: int,
         body_ref, last_tail_ref, out_ref, xs_ref, tail_ref = refs
     g = pl.program_id(0)
     j = pl.program_id(1)
-    n_tiles = offs_ref.shape[0]
+    n_groups = offs_ref.shape[0] // _SP
     rows = xs_ref.shape[0]
-    offs = offs_ref[g % n_tiles, :]
+    offs = offs_ref[pl.dslice((g % n_groups) * _SP, _SP), :]   # [_SP, 128]
     off_min = jnp.min(offs)
     res = offs - off_min
     res_max = jnp.max(res)
 
     @pl.when(j == 0)
     def _():
-        # First grid step per plane = LAST day block: its lookahead rows
-        # live past the output span, streamed via the dedicated input.
-        tail_ref[...] = pltpu.bitcast(last_tail_ref[0, :, 0, :], jnp.int32)
+        # First grid step per plane group = LAST day block: its lookahead
+        # rows live past the output span, streamed via the dedicated
+        # input.
+        tail_ref[...] = pltpu.bitcast(last_tail_ref[0], jnp.int32)
 
-    xs_ref[0:day_block] = pltpu.bitcast(body_ref[0, :, 0, :], jnp.int32)
+    xs_ref[0:day_block] = pltpu.bitcast(body_ref[0], jnp.int32)
     xs_ref[day_block:rows] = tail_ref[...]
     # The current body's head is the PREVIOUS block's lookahead tail —
     # saved now (body_ref is read-only; the shifts mutate xs_ref only).
-    tail_ref[...] = pltpu.bitcast(body_ref[0, 0:max_off_pad, 0, :],
-                                  jnp.int32)
+    tail_ref[...] = pltpu.bitcast(body_ref[0, 0:max_off_pad], jnp.int32)
     for k in reversed(range(n_levels)):
         shift = (1 << k) % rows
 
         @pl.when(res_max >= (1 << k))
         def _():
             x = xs_ref[...]
-            mask = -((res >> k) & 1)              # 0 or all-ones, per lane
-            rolled = pltpu.roll(x, rows - shift, 0)
-            xs_ref[...] = (rolled & mask[None, :]) | (x & ~mask[None, :])
+            mask = -((res >> k) & 1)         # 0 or all-ones, [_SP, 128]
+            # Static roll-by-shift along the day axis: rolled[i] =
+            # x[(i + shift) mod rows], as two static slices.
+            rolled = jnp.concatenate([x[shift:], x[:shift]], axis=0)
+            xs_ref[...] = ((rolled & mask[None, :, :])
+                           | (x & ~mask[None, :, :]))
     win = pltpu.bitcast(xs_ref[pl.dslice(off_min, day_block)], jnp.float32)
     if has_bias:
-        win = win + bias_ref[g % n_tiles, :][None, :]
-    out_ref[0, :, 0, :] = win
+        win = win + bias_ref[pl.dslice((g % n_groups) * _SP, _SP), :][None]
+    out_ref[0] = win
+
+
+def _plan_blocks_4d(sim_days: int, max_off_pad: int) -> tuple[int, int]:
+    """(day_block, n_blocks) for the direct-slab kernel. Its VMEM working
+    set per program is (xs scratch + tail scratch + double-buffered body/
+    last-tail/out blocks) * _SP planes * 128 lanes * 4 B ~=
+    (5*day_block + 4*max_off_pad) 4-KB rows; budget 60 MB -> 15360 rows
+    (_ROW_BUDGET_4D). Also enforces day_block >= max_off_pad (the
+    tail-carry invariant) — returns (0, 0) when no feasible block exists
+    so the caller can fall back to the transpose path."""
+    budget = _ROW_BUDGET_4D - 4 * max_off_pad
+    if 5 * max_off_pad > budget:
+        return 0, 0
+    for nb in range(1, sim_days // 8 + 2):
+        db = -(-(-(-sim_days // nb)) // 8) * 8     # ceil8(ceil(S / nb))
+        if db < max_off_pad:
+            return 0, 0
+        if 5 * db <= budget:
+            return db, nb
+    return 0, 0
 
 
 def _window_tiles_4d(slabs4, offs_rows, sim_days: int, interpret: bool,
@@ -195,12 +238,14 @@ def _window_tiles_4d(slabs4, offs_rows, sim_days: int, interpret: bool,
     """Direct-slab windowing: slabs4 [G, T, sub, 128] f32 ->
     [G, sim_days, sub, 128], one HBM read + one write (no transposes, no
     staged tails). offs_rows/bias_rows: [G*sub, 128], row g*sub + i for
-    sublane plane (g, i). Caller guarantees day_block >= max_off_pad."""
+    sublane plane (g, i). Caller guarantees _plan_blocks_4d feasibility
+    (which implies day_block >= max_off_pad and sub % _SP == 0)."""
     G, T, sub, _ = slabs4.shape
+    assert sub % _SP == 0, sub
     max_off = T - sim_days
     n_levels = max(1, int(max_off).bit_length())
     max_off_pad = -(-max_off // 8) * 8
-    day_block, n_blocks = _plan_blocks(sim_days, max_off_pad)
+    day_block, n_blocks = _plan_blocks_4d(sim_days, max_off_pad)
     assert day_block >= max_off_pad, (day_block, max_off_pad)
     S_pad = n_blocks * day_block
     T_pad = S_pad + max_off_pad
@@ -208,6 +253,7 @@ def _window_tiles_4d(slabs4, offs_rows, sim_days: int, interpret: bool,
         slabs4 = jnp.pad(slabs4, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
     last_tails = slabs4[:, S_pad:S_pad + max_off_pad]   # [G, mop, sub, 128]
 
+    npg = sub // _SP          # plane groups per slab row
     has_bias = bias_rows is not None
     kernel = functools.partial(
         _window_kernel_4d, n_levels=n_levels, day_block=day_block,
@@ -219,26 +265,26 @@ def _window_tiles_4d(slabs4, offs_rows, sim_days: int, interpret: bool,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias rows
         ins.append(bias_rows.astype(jnp.float32))
     in_specs += [
-        pl.BlockSpec((1, day_block, 1, _LANES),
-                     lambda g, j: (g // sub, n_blocks - 1 - j, g % sub, 0),
+        pl.BlockSpec((1, day_block, _SP, _LANES),
+                     lambda g, j: (g // npg, n_blocks - 1 - j, g % npg, 0),
                      memory_space=pltpu.VMEM),           # body (reversed)
-        pl.BlockSpec((1, max_off_pad, 1, _LANES),
-                     lambda g, j: (g // sub, 0, g % sub, 0),
+        pl.BlockSpec((1, max_off_pad, _SP, _LANES),
+                     lambda g, j: (g // npg, 0, g % npg, 0),
                      memory_space=pltpu.VMEM),           # last block's tail
     ]
     out = pl.pallas_call(
         kernel,
-        grid=(G * sub, n_blocks),
+        grid=(G * npg, n_blocks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, day_block, 1, _LANES),
-            lambda g, j: (g // sub, n_blocks - 1 - j, g % sub, 0),
+            (1, day_block, _SP, _LANES),
+            lambda g, j: (g // npg, n_blocks - 1 - j, g % npg, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, S_pad, sub, _LANES),
                                        slabs4.dtype),
         scratch_shapes=[
-            pltpu.VMEM((day_block + max_off_pad, _LANES), jnp.int32),
-            pltpu.VMEM((max_off_pad, _LANES), jnp.int32),
+            pltpu.VMEM((day_block + max_off_pad, _SP, _LANES), jnp.int32),
+            pltpu.VMEM((max_off_pad, _SP, _LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             **({"vmem_limit_bytes": _VMEM_MB * 2**20} if _VMEM_MB else {})),
@@ -341,13 +387,13 @@ def window_offsets_slab(x_slab, offs, sim_days: int,
     bias_rows = (None if bias is None
                  else bias.reshape(G * sub, _LANES))
     max_off_pad = -(-(T - sim_days) // 8) * 8
-    if max_off_pad + 8 <= _ROW_BUDGET:
-        day_block, _nb = _plan_blocks(sim_days, max_off_pad)
-        if day_block >= max_off_pad:
+    if sub % _SP == 0:
+        day_block, _nb = _plan_blocks_4d(sim_days, max_off_pad)
+        if day_block:
             # Direct-slab path: one HBM read + one write (no transposes,
             # no staged tails — those passes were ~2/3 of the stage's
             # bandwidth). Bit-identical output; production horizons
-            # (10y+) always satisfy day_block >= max_off_pad.
+            # (10y+) always have a feasible 4D block plan.
             return _window_tiles_4d(x_slab, offs_rows, sim_days,
                                     interpret, bias_rows)
     xt = x_slab.transpose(0, 2, 1, 3).reshape(G * sub, T, _LANES)

@@ -31,7 +31,11 @@ def test_horizon_menu_includes_40_and_50():
 def test_50y_plans_fit(model):
     """Static plans at the envelope: regime spell capacity and the window
     kernel's VMEM feasibility at 50y·252 + 5y buffer."""
-    from letf_tpu.ops.pallas_window import _plan_blocks, fits_vmem
+    from letf_tpu.ops.pallas_window import (
+        _plan_blocks,
+        _plan_blocks_4d,
+        fits_vmem,
+    )
     from letf_tpu.ops.path_batched import plan_max_spells
 
     T = 50 * 252 + 1260
@@ -42,8 +46,10 @@ def test_50y_plans_fit(model):
     assert fits_vmem(T, 50 * 252)
     db, nb = _plan_blocks(50 * 252, -(-1260 // 8) * 8)
     assert db * nb >= 50 * 252
-    # Production horizons keep the direct-slab (single-read) window path.
-    assert db >= -(-1260 // 8) * 8
+    # Production horizons keep the direct-slab (single-read) window path:
+    # a feasible 4D plan (day_block >= max_off_pad within VMEM budget).
+    db4, nb4 = _plan_blocks_4d(50 * 252, -(-1260 // 8) * 8)
+    assert db4 >= -(-1260 // 8) * 8 and db4 * nb4 >= 50 * 252
 
 
 def test_50y_full_engine_chunk(model):

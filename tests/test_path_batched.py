@@ -438,20 +438,19 @@ def test_window_offsets_slab_4d_multiblock_exact(monkeypatch):
     ref = np.take_along_axis(
         xb, offs[:, None] + np.arange(S)[None, :], axis=1)
 
-    # max_off_pad = 128; budget 256 -> day_block 128, n_blocks 2 (>= 2
-    # blocks, day_block >= max_off_pad: the 4D tail-carry path).
-    monkeypatch.setattr(pw, "_ROW_BUDGET", 256)
-    assert pw._plan_blocks(S, 128) == (128, 2)
+    # max_off_pad = 128; 4D budget 1200 -> day_block 128, n_blocks 2
+    # (>= 2 blocks, day_block >= max_off_pad: the 4D tail-carry path).
+    monkeypatch.setattr(pw, "_ROW_BUDGET_4D", 1200)
+    assert pw._plan_blocks_4d(S, 128) == (128, 2)
     got = pw.window_offsets_slab(x, jnp.asarray(offs), S, interpret=True)
     got_b = np.asarray(got).transpose(0, 2, 3, 1).reshape(B, S)
     np.testing.assert_array_equal(ref, got_b)
 
-    # Shorter window: day_block (96) < max_off_pad (288) -> transpose
-    # fallback, still bit-exact.
+    # Shorter window: day_block (96) < max_off_pad (288) -> no feasible
+    # 4D plan -> transpose fallback, still bit-exact.
     S2 = 96
-    monkeypatch.setattr(pw, "_ROW_BUDGET", 16384)
-    db2, _ = pw._plan_blocks(S2, -(-(T - S2) // 8) * 8)
-    assert db2 < -(-(T - S2) // 8) * 8
+    monkeypatch.setattr(pw, "_ROW_BUDGET_4D", 15360)
+    assert pw._plan_blocks_4d(S2, -(-(T - S2) // 8) * 8) == (0, 0)
     offs2 = np.random.default_rng(6).integers(0, T - S2 + 1, B)
     ref2 = np.take_along_axis(
         xb, offs2[:, None] + np.arange(S2)[None, :], axis=1)
