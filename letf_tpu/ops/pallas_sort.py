@@ -156,10 +156,8 @@ def _pad_half(key_h, sec_h, pays, H):
     return key_p, sec_p, [jnp.pad(p, ((0, 0), (0, pad))) for p in pays]
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "interpret",
-                                             "head_payloads_zero"))
-def sort_bridge(key, sec, payloads=(), kind="merge", interpret=False,
-                head_payloads_zero=False):
+def _sort_bridge_impl(key, sec, payloads=(), kind="merge", interpret=False,
+                      head_payloads_zero=False):
     """Stable two-key sort of [B, N] rows (N even, halves N/2 each).
 
     key: f32 NON-NEGATIVE (or +inf) primary — non-negative is required
@@ -238,3 +236,20 @@ def sort_bridge(key, sec, payloads=(), kind="merge", interpret=False,
     # sorted columns are exactly the real ones.
     out = [x[:, :N] for x in out]
     return tuple(out) if has_sec else tuple(out[:1] + out[2:])
+
+
+sort_bridge = functools.partial(
+    jax.jit, static_argnames=("kind", "interpret", "head_payloads_zero"))(
+        _sort_bridge_impl)
+
+# Input-donating variant for the unit-staged bridge drive
+# (tax/device_bridge._asset_yearly_activity_units): each sort unit's
+# in-flight working set is ~3x the operand set (inputs + power-of-two
+# padded copies + outputs), which OOMed a 16 GB chip at the 8192-row
+# fold — donating the operands lets XLA reuse their buffers. Only for
+# top-level calls whose callers never touch the operands again; inside
+# an enclosing jit donation is ignored, so the fused paths keep the
+# plain `sort_bridge`.
+sort_bridge_donate = functools.partial(
+    jax.jit, static_argnames=("kind", "interpret", "head_payloads_zero"),
+    donate_argnums=(0, 1, 2))(_sort_bridge_impl)

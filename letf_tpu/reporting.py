@@ -196,10 +196,25 @@ def _exact_tax_via_replay(ctx: Dict, sid: str, n: int, time_horizon: int,
             engine_mode=ctx["engine_mode"],
             bootstrap_pools=ctx["bootstrap_pools"], anchors=ctx["anchors"])
         tj_alloc, tj_value, tj_price, tj_asset = emission
-        activity, n_trades = yearly_activity_from_emission(
-            tj_alloc[:, :, col], tj_value[:, :, col],
-            tj_price[:, :, col], tj_asset[:, :, col],
-            n_years=time_horizon)
+        cols4 = (tj_alloc[:, :, col], tj_value[:, :, col],
+                 tj_price[:, :, col], tj_asset[:, :, col])
+        from letf_tpu.tax.device_bridge import (
+            _use_pallas_sort,
+            yearly_activity_units,
+        )
+        if _use_pallas_sort(cols4[0].dtype):
+            # TPU/f32: single-network jit units (degraded-compile-helper
+            # safe). Every strategy may trade both bridge legs here (S8).
+            g_assets = (0, 1) if sid == "S8" else (0,)
+            activity, n_trades, viol = yearly_activity_units(
+                *cols4, n_years=time_horizon, assets=g_assets)
+            if bool(np.asarray(viol)):
+                raise RuntimeError(
+                    f"{sid}: a statically-skipped bridge asset sold "
+                    "shares in _exact_tax_via_replay")
+        else:
+            activity, n_trades = yearly_activity_from_emission(
+                *cols4, n_years=time_horizon)
         tax = total_tax_all_trials(
             activity[..., :4], income, cfg.INITIAL_CAPITAL,
             n_trades.astype(activity.dtype) / time_horizon, **kw)
@@ -489,13 +504,21 @@ def exact_post_tax_all_trials(model, time_horizon: int,
         # overhead across every strategy instead of paying it 13 times.
         # S8 gets its own group: it is the only strategy trading the SPY
         # leg, and batching it with others would defeat the bridge's
-        # empty-asset skip for the whole group. With the Pallas merge
-        # networks inlined (TPU/f32) the fold caps at 2048 rows: the
-        # remote compile helper is SIGKILLed (host OOM) AOT-compiling
-        # the folded bridge program at 4096+ rows, while the 2048-row
-        # unit is the measured-good compile size.
+        # empty-asset skip for the whole group. On TPU/f32 FIFO the
+        # UNIT-staged bridge runs (every Pallas merge network its own
+        # jit module — the remote compile helper, when memory-degraded,
+        # SIGKILLs any module with two networks, observed even at 2048
+        # rows on 2026-08-20), which lifts the fold to 8192 rows
+        # (LETF_TPU_TAX_FOLD overrides); elected lot orders keep the
+        # staged per-asset module at the measured-good 2048-row fold.
         from letf_tpu.tax.device_bridge import _use_pallas_sort
-        fold_cap = 2048 if _use_pallas_sort(jnp.float32) else 8192
+        use_units = _use_pallas_sort(jnp.float32) and lot_method == "FIFO"
+        if use_units:
+            fold_cap = int(os.environ.get("LETF_TPU_TAX_FOLD", "8192"))
+        elif _use_pallas_sort(jnp.float32):
+            fold_cap = 2048
+        else:
+            fold_cap = 8192
         gsz = max(1, fold_cap // max(n_here, 1))
         pairs = [(s, c) for s, c in zip(strategy_ids, cols) if s != "S8"]
         groups = [pairs[g0:g0 + gsz] for g0 in range(0, len(pairs), gsz)]
@@ -516,9 +539,17 @@ def exact_post_tax_all_trials(model, time_horizon: int,
             # shapes once the Pallas merges were inlined. The returned
             # flag catches a violated static claim.
             g_assets = (0, 1) if "S8" in gsids else (0,)
-            if fold_cap == 2048:
-                # TPU/f32: staged jit units — the fused module OOM-kills
-                # the remote compile helper (see yearly_activity_staged).
+            if use_units:
+                from letf_tpu.tax.device_bridge import (
+                    yearly_activity_units,
+                )
+                activity, n_trades, skipped = yearly_activity_units(
+                    *stacked, n_years=time_horizon, assets=g_assets)
+                del stacked          # [S, B*G] x4 — free before the fetch
+            elif _use_pallas_sort(jnp.float32):
+                # TPU/f32 elected orders: staged jit units — the fused
+                # module OOM-kills the remote compile helper (see
+                # yearly_activity_staged).
                 from letf_tpu.tax.device_bridge import (
                     yearly_activity_staged,
                 )
@@ -671,8 +702,23 @@ def sampled_post_tax_tables(model, fw_dev, time_horizon: int,
         cidx = np.concatenate([np.full(m, jcol[s]) for s in gsids])
         stacked = tuple(e[:, jnp.asarray(bidx), jnp.asarray(cidx)]
                         for e in emission)
-        activity, n_trades = yearly_activity_from_emission(
-            *stacked, n_years=time_horizon)
+        from letf_tpu.tax.device_bridge import (
+            _use_pallas_sort,
+            yearly_activity_units,
+        )
+        if _use_pallas_sort(stacked[0].dtype):
+            # TPU/f32: single-network jit units — a degraded remote
+            # compile helper SIGKILLs any module with two merge networks.
+            g_assets = (0, 1) if "S8" in gsids else (0,)
+            activity, n_trades, viol = yearly_activity_units(
+                *stacked, n_years=time_horizon, assets=g_assets)
+            if bool(np.asarray(viol)):
+                raise RuntimeError(
+                    f"sampled-tax group {gsids}: a statically-skipped "
+                    "bridge asset sold shares")
+        else:
+            activity, n_trades = yearly_activity_from_emission(
+                *stacked, n_years=time_horizon)
         ok = bool(np.asarray(jnp.all(jnp.isfinite(activity))))
         tax = total_tax_all_trials(
             activity[..., :4], income, cfg.INITIAL_CAPITAL,

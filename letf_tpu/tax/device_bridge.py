@@ -216,14 +216,7 @@ def _prefix_cost(take, cb_prev, q, p):
     (oracle-equality test in tests/test_device_bridge.py)."""
     B, S = q.shape
     dt = q.dtype
-    pc_prev = jnp.cumsum(q * p, axis=1) - q * p         # cost of lots [0, i)
-    m = jax.lax.cummax(cb_prev + q, axis=1)
-    z = jnp.zeros_like(take)
-    val = jnp.concatenate([take, m], axis=1)             # [B, 2S]
-    pcv = jnp.concatenate([z, pc_prev], axis=1)
-    cbpv = jnp.concatenate([z, cb_prev], axis=1)
-    qv = jnp.concatenate([z, q], axis=1)
-    pv = jnp.concatenate([z, p], axis=1)
+    val, pcv, cbpv, qv, pv, lasts = _prefix_cost_pre(take, cb_prev, q, p)
     use_ps = _use_pallas_sort(dt)
     if use_ps:
         from letf_tpu.ops.pallas_sort import sort_bridge
@@ -248,6 +241,41 @@ def _prefix_cost(take, cb_prev, q, p):
             is_stable=True)
         is_lot = tag == 1
 
+    cost = _prefix_cost_fill(val, is_lot, pcv, cbpv, qv, pv, lasts)
+    # Restore day order: (tag, day) pairs are unique; queries (tag 0)
+    # sort to the lower half in day order. Ascending packed IS the
+    # (tag, day) order, so the Pallas path restores by it alone.
+    if use_ps:
+        _, cost = sort_bridge(packed, None, (cost,), kind="sort")
+    else:
+        _, _, cost = jax.lax.sort((tag, dayv, cost), dimension=1,
+                                  num_keys=2)
+    return cost[:, :S]
+
+
+def _prefix_cost_pre(take, cb_prev, q, p):
+    """_prefix_cost's pre-sort section: the [B, 2S] valley-sort operands
+    plus the last-lot clamp columns ([B, 4]: pc_prev/cb_prev/q/p at S-1),
+    shared by the fused path above and the unit-staged drive
+    (_asset_yearly_activity_units)."""
+    pc_prev = jnp.cumsum(q * p, axis=1) - q * p         # cost of lots [0, i)
+    m = jax.lax.cummax(cb_prev + q, axis=1)
+    z = jnp.zeros_like(take)
+    val = jnp.concatenate([take, m], axis=1)             # [B, 2S]
+    pcv = jnp.concatenate([z, pc_prev], axis=1)
+    cbpv = jnp.concatenate([z, cb_prev], axis=1)
+    qv = jnp.concatenate([z, q], axis=1)
+    pv = jnp.concatenate([z, p], axis=1)
+    lasts = jnp.concatenate([pc_prev[:, -1:], cb_prev[:, -1:],
+                             q[:, -1:], p[:, -1:]], axis=1)
+    return val, pcv, cbpv, qv, pv, lasts
+
+
+def _prefix_cost_fill(val, is_lot, pcv, cbpv, qv, pv, lasts):
+    """_prefix_cost's post-sort section (sorted order in, sorted order
+    out): suffix nearest-lot fill, last-lot clamp, cost evaluation."""
+    dt = val.dtype
+
     def fill(a, b):
         """Suffix combine (reverse scan): the RIGHT side is nearer in
         suffix order, so it wins when valid — nearest lot at-or-after."""
@@ -265,21 +293,12 @@ def _prefix_cost(take, cb_prev, q, p):
     # ss clamp: take beyond the last boundary owns lot S-1.
     f = has.astype(dt)
     g = 1.0 - f
-    pc_f = f * pc_f + g * pc_prev[:, -1:]
-    cbp_f = f * cbp_f + g * cb_prev[:, -1:]
-    q_f = f * q_f + g * q[:, -1:]
-    p_f = f * p_f + g * p[:, -1:]
+    pc_f = f * pc_f + g * lasts[:, 0:1]
+    cbp_f = f * cbp_f + g * lasts[:, 1:2]
+    q_f = f * q_f + g * lasts[:, 2:3]
+    p_f = f * p_f + g * lasts[:, 3:4]
     part = jnp.clip(val - cbp_f, 0.0, q_f)               # val == take here
-    cost = pc_f + part * p_f
-    # Restore day order: (tag, day) pairs are unique; queries (tag 0)
-    # sort to the lower half in day order. Ascending packed IS the
-    # (tag, day) order, so the Pallas path restores by it alone.
-    if use_ps:
-        _, cost = sort_bridge(packed, None, (cost,), kind="sort")
-    else:
-        _, _, cost = jax.lax.sort((tag, dayv, cost), dimension=1,
-                                  num_keys=2)
-    return cost[:, :S]
+    return pc_f + part * p_f
 
 
 def _wash_matching_scan(loss, sell_sh, buy_q):
@@ -358,32 +377,14 @@ def _wash_matching(loss, sell_sh, buy_q):
     return _wash_matching_scan(loss, sell_sh, buy_q)
 
 
-def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
-                           method: str = "FIFO",
-                           lot_capacity: int | None = None):
-    """Passes 1+2 for one asset: [B, S] buy shares / sell shares / prices
-    -> [B, Y, 5] (st_g, st_l, lt_g, lt_l, wash_disallowed).
-
-    ``method``: lot-selection election. FIFO runs the O(S*L) banded
-    cumulative frontier; the six elected orders (LIFO/HIFO/LOFO/LTFO/
-    STFO/MINTAX, reference tax/lot_selection.py:159-181) run the
-    argsort-over-fixed-capacity-lot-arrays scan (_election_year_buckets),
-    which needs ``lot_capacity`` >= the max buy-event count per trial."""
+def _wash_unload(dis, rep_off, has, buy_q, sell_m, price):
+    """Pass-1 tail, shared by the fused path and the unit-staged drive:
+    scatter-free unload of disallowed losses onto their replacement lots,
+    §1223(4) tacked origin days, per-share adjusted basis, the wash-window
+    anybuy flags, and the cumulative-sold frontier."""
     B, S = buy_q.shape
     dt = buy_q.dtype
     days = jnp.arange(S)
-
-    # ---- pass 1: wash-sale analysis against the pristine FIFO prefix ----
-    cb = jnp.cumsum(buy_q, axis=1)                       # [B, S]
-    cb_prev = cb - buy_q
-    total = cb[:, -1:]
-    take = jnp.minimum(sell_m, total)                    # [B, S]
-    cost1 = _prefix_cost(take, cb_prev, buy_q, price)
-    proceeds = sell_m * price
-    gl1 = proceeds - cost1
-    loss1 = jnp.where((sell_m > 0) & (gl1 < 0), -gl1, 0.0)
-
-    dis, rep_off, has = _wash_matching(loss1, sell_m, buy_q)
 
     # Scatter-free unload: basis_adj[b] = sum over offsets o of
     # disallowed at sell day b - o where that sell chose offset o.
@@ -408,7 +409,7 @@ def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
     first_buy = jnp.min(jnp.where(has_buy, days[None, :], S), axis=1)  # [B]
     orig = jnp.where(tacked, first_buy[:, None], days[None, :])        # [B, S]
 
-    # ---- pass 2: FIFO realization via the cumulative-sold frontier ----
+    # ---- pass 2 inputs: FIFO realization frontier ----
     cs = jnp.cumsum(sell_m, axis=1)
     cs_prev = cs - sell_m
     basis_ps = price + basis_adj / jnp.maximum(buy_q, 1e-30)   # per share
@@ -419,6 +420,33 @@ def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
         if o == 0:
             continue
         anybuy = anybuy | (qp[:, _WINDOW + o:_WINDOW + o + S] > _MIN_SHARES)
+    return cs, cs_prev, basis_ps, orig, anybuy
+
+
+def _asset_yearly_activity(buy_q, sell_m, price, n_years: int,
+                           method: str = "FIFO",
+                           lot_capacity: int | None = None):
+    """Passes 1+2 for one asset: [B, S] buy shares / sell shares / prices
+    -> [B, Y, 5] (st_g, st_l, lt_g, lt_l, wash_disallowed).
+
+    ``method``: lot-selection election. FIFO runs the O(S*L) banded
+    cumulative frontier; the six elected orders (LIFO/HIFO/LOFO/LTFO/
+    STFO/MINTAX, reference tax/lot_selection.py:159-181) run the
+    argsort-over-fixed-capacity-lot-arrays scan (_election_year_buckets),
+    which needs ``lot_capacity`` >= the max buy-event count per trial."""
+    # ---- pass 1: wash-sale analysis against the pristine FIFO prefix ----
+    cb = jnp.cumsum(buy_q, axis=1)                       # [B, S]
+    cb_prev = cb - buy_q
+    total = cb[:, -1:]
+    take = jnp.minimum(sell_m, total)                    # [B, S]
+    cost1 = _prefix_cost(take, cb_prev, buy_q, price)
+    proceeds = sell_m * price
+    gl1 = proceeds - cost1
+    loss1 = jnp.where((sell_m > 0) & (gl1 < 0), -gl1, 0.0)
+
+    dis, rep_off, has = _wash_matching(loss1, sell_m, buy_q)
+    cs, cs_prev, basis_ps, orig, anybuy = _wash_unload(
+        dis, rep_off, has, buy_q, sell_m, price)
 
     if method == "FIFO":
         return _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev,
@@ -507,7 +535,33 @@ def _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev, buy_q,
     searchsorted + tiny gathers)."""
     B, S = price.shape
     dt = price.dtype
-    Y = n_years
+    key, va, vb = _fifo_merge_pre(cs, cb, price, basis_ps, orig, anybuy)
+    if _use_pallas_sort(dt):
+        from letf_tpu.ops.pallas_sort import sort_bridge
+
+        # "merge": both halves ascending (cummax'd cumulative curves,
+        # position-increasing packed ties). Bitwise-equal to the stable
+        # lax.sort below (unique (key, packed) composite).
+        packed = _packed_pos(B, 2 * S)
+        key, packed, va, vb = sort_bridge(key, packed, (va, vb),
+                                          kind="merge")
+        is_sell = packed >= (1 << 24)
+    else:
+        sec = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
+                               jnp.ones((B, S), jnp.int32)], axis=1)
+        key, sec, va, vb = jax.lax.sort(
+            (key, sec, va, vb), dimension=1, num_keys=2, is_stable=True)
+        is_sell = sec == 1
+
+    return _fifo_merge_post(key, is_sell, va, vb, n_years)
+
+
+def _fifo_merge_pre(cs, cb, price, basis_ps, orig, anybuy):
+    """_fifo_year_buckets_merge's pre-sort section: the [B, 2S] merge-sort
+    operands (key, va, vb) from the frontier arrays — shared by the fused
+    path above and the unit-staged drive."""
+    B, S = price.shape
+    dt = price.dtype
     days = jnp.arange(S, dtype=dt)
 
     # jnp.cumsum is a reassociated tree sum, so cs/cb can DIP by an ulp
@@ -525,29 +579,24 @@ def _fifo_year_buckets_merge(cs, cs_prev, price, cb, cb_prev, buy_q,
     # anybuy). sec=0 for lots sorts them before equal-key sells. Day and
     # the wash-window flag pack into ONE value (2*day + anybuy — exact up
     # to 2^23 days in f32, S is ~7.5k), dropping a sort operand and a
-    # fill array; the unpack below recovers the exact integers.
+    # fill array; the unpack in _fifo_merge_post recovers the exact
+    # integers.
     key = jnp.concatenate([cb, cs], axis=1)                       # [B, 2S]
     va = jnp.concatenate([basis_ps, price], axis=1)               # basis|p
     vb = jnp.concatenate(
         [orig.astype(dt) * 2.0,
          jnp.broadcast_to(days[None], (B, S)) * 2.0 + anybuy.astype(dt)],
         axis=1)
-    if _use_pallas_sort(dt):
-        from letf_tpu.ops.pallas_sort import sort_bridge
+    return key, va, vb
 
-        # "merge": both halves ascending (cummax'd cumulative curves,
-        # position-increasing packed ties). Bitwise-equal to the stable
-        # lax.sort below (unique (key, packed) composite).
-        packed = _packed_pos(B, 2 * S)
-        key, packed, va, vb = sort_bridge(key, packed, (va, vb),
-                                          kind="merge")
-        is_sell = packed >= (1 << 24)
-    else:
-        sec = jnp.concatenate([jnp.zeros((B, S), jnp.int32),
-                               jnp.ones((B, S), jnp.int32)], axis=1)
-        key, sec, va, vb = jax.lax.sort(
-            (key, sec, va, vb), dimension=1, num_keys=2, is_stable=True)
-        is_sell = sec == 1
+
+def _fifo_merge_post(key, is_sell, va, vb, n_years: int):
+    """_fifo_year_buckets_merge's post-sort section: suffix owner fills,
+    per-segment bucket classification, year aggregation -> [B, Y, 5]."""
+    B, S2 = key.shape
+    S = S2 // 2
+    dt = key.dtype
+    Y = n_years
 
     # Suffix fills: nearest element at-or-after of each type. With
     # reverse=True the scan combines op(suffix_after_i, element_i), so
@@ -887,6 +936,126 @@ def yearly_activity_staged(tj_alloc, tj_value, tj_price, tj_asset,
         act = _asset_yearly_activity_jit(
             tr["buy_sh"][..., k], tr["sell_sh"][..., k], tr["price"],
             n_years, method=method, lot_capacity=lot_capacity)
+        out = act if out is None else out + act
+    return out, n_trades, viol
+
+
+# ---------------------------------------------------------------------------
+# Unit-staged FIFO bridge: every Pallas network in its OWN jit module.
+#
+# yearly_activity_staged's per-asset module still inlines two bitonic merge
+# networks (valley + pass-2 merge); the remote AOT compile helper, when its
+# host is memory-degraded, SIGKILLs on that module even at the 2048-row
+# fold (observed 2026-08-20 — r4's "measured-good" size). These units cap
+# every module at ONE network, so each compiles in isolation even on a
+# degraded helper, and the strategy fold can rise past 2048 rows (fewer
+# serial bridge groups per chunk — the exact-tax chunk at the 2048 fold
+# runs 13 groups, paying the replay/wash/fill fixed overheads 13x). The
+# boundaries round-trip [B, 2S] tensors through HBM: ~500 MB per tensor at
+# the 8192-row fold, a few ms each against a multi-second bridge.
+#
+# Bitwise-equal to _asset_yearly_activity(method="FIFO"): identical ops,
+# only jit boundaries differ (tests/test_device_bridge.py).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _u_p1_operands(buy_q, sell_m, price):
+    """Replay outputs -> pass-1 valley-sort operands (+ packed keys)."""
+    B, S = buy_q.shape
+    cb = jnp.cumsum(buy_q, axis=1)
+    cb_prev = cb - buy_q
+    take = jnp.minimum(sell_m, cb[:, -1:])
+    val, pcv, cbpv, qv, pv, lasts = _prefix_cost_pre(take, cb_prev,
+                                                     buy_q, price)
+    return val, _packed_pos(B, 2 * S), pcv, cbpv, qv, pv, lasts
+
+
+@jax.jit
+def _u_p1_cost(val, packed, pcv, cbpv, qv, pv, lasts):
+    """Sorted pass-1 operands -> per-query prefix cost (sorted order)."""
+    return _prefix_cost_fill(val, packed >= (1 << 24), pcv, cbpv, qv, pv,
+                             lasts)
+
+
+@jax.jit
+def _u_p1_loss(cost2, sell_m, price):
+    """Day-restored cost -> per-sell wash-eligible loss."""
+    gl1 = sell_m * price - cost2[:, :sell_m.shape[1]]
+    return jnp.where((sell_m > 0) & (gl1 < 0), -gl1, 0.0)
+
+
+_wash_matching_jit = jax.jit(_wash_matching)
+
+
+@jax.jit
+def _u_p2_operands(dis, rep_off, has, buy_q, sell_m, price):
+    """Wash outputs -> pass-2 merge-sort operands (+ packed keys)."""
+    B, S = buy_q.shape
+    cs, _cs_prev, basis_ps, orig, anybuy = _wash_unload(
+        dis, rep_off, has, buy_q, sell_m, price)
+    cb = jnp.cumsum(buy_q, axis=1)
+    key, va, vb = _fifo_merge_pre(cs, cb, price, basis_ps, orig, anybuy)
+    return key, _packed_pos(B, 2 * S), va, vb
+
+
+@functools.partial(jax.jit, static_argnames=("n_years",))
+def _u_p2_buckets(key, packed, va, vb, n_years: int):
+    """Sorted merge coordinate -> [B, Y, 5] yearly activity."""
+    return _fifo_merge_post(key, packed >= (1 << 24), va, vb, n_years)
+
+
+def _asset_yearly_activity_units(buy_q, sell_m, price, n_years: int,
+                                 interpret: bool = False):
+    """FIFO passes 1+2 as a chain of single-network jit units (see the
+    section comment). ``interpret`` runs the sort kernels in Pallas
+    interpret mode — the CPU parity tests' hook (f32 only; the sort
+    kernels bitcast to i32)."""
+    from letf_tpu.ops.pallas_sort import sort_bridge_donate
+
+    val, packed, pcv, cbpv, qv, pv, lasts = _u_p1_operands(
+        buy_q, sell_m, price)
+    # Sort operands are DONATED: nothing re-reads them, and each sort
+    # unit's in-flight working set (inputs + padded copies + outputs) is
+    # what OOMed the chip at large folds.
+    val, packed, pcv, cbpv, qv, pv = sort_bridge_donate(
+        val, packed, (pcv, cbpv, qv, pv), kind="valley",
+        head_payloads_zero=True, interpret=interpret)
+    cost = _u_p1_cost(val, packed, pcv, cbpv, qv, pv, lasts)
+    del val, pcv, cbpv, qv, pv
+    _, cost = sort_bridge_donate(packed, None, (cost,), kind="sort",
+                                 interpret=interpret)
+    loss1 = _u_p1_loss(cost, sell_m, price)
+    del cost
+    dis, rep_off, has = _wash_matching_jit(loss1, sell_m, buy_q)
+    del loss1
+    key, packed2, va, vb = _u_p2_operands(dis, rep_off, has, buy_q,
+                                          sell_m, price)
+    del dis, rep_off, has
+    key, packed2, va, vb = sort_bridge_donate(key, packed2, (va, vb),
+                                              kind="merge",
+                                              interpret=interpret)
+    return _u_p2_buckets(key, packed2, va, vb, n_years)
+
+
+def yearly_activity_units(tj_alloc, tj_value, tj_price, tj_asset,
+                          n_years: int, assets: tuple = (0,),
+                          interpret: bool = False):
+    """yearly_activity_staged with the per-asset FIFO module further
+    split into single-network jit units — same outputs, FIFO only (the
+    elected orders keep the staged per-asset module: their day scan
+    carries no merge networks)."""
+    tr, n_trades, skip_sold = _replay_and_counts(
+        tj_alloc, tj_value, tj_price, tj_asset)
+    out = None
+    viol = jnp.zeros((), bool)
+    for k in range(len(_BRIDGE_ASSETS)):
+        if k not in assets:
+            viol = viol | skip_sold[k]
+            continue
+        act = _asset_yearly_activity_units(
+            tr["buy_sh"][..., k], tr["sell_sh"][..., k], tr["price"],
+            n_years, interpret=interpret)
         out = act if out is None else out + act
     return out, n_trades, viol
 

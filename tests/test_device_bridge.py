@@ -300,3 +300,40 @@ def test_staged_bridge_matches_fused_bitwise(emission):
     _, _, v4 = yearly_activity_from_emission(*args, n_years=years,
                                              assets=(0,))
     assert bool(v3) and bool(v4)
+
+
+def test_unit_staged_bridge_matches_fused_f32(emission):
+    """yearly_activity_units — the TPU production exact-tax structure:
+    every Pallas merge network its OWN jit module (a memory-degraded
+    remote compile helper SIGKILLs any module carrying two networks),
+    sorts via ops/pallas_sort.sort_bridge — must be BITWISE equal to the
+    fused f32 lax-sort path. Run with interpret-mode kernels (f32 only:
+    the sort kernels bitcast keys to i32)."""
+    from letf_tpu.tax.device_bridge import (
+        yearly_activity_from_emission,
+        yearly_activity_units,
+    )
+
+    res, years, B = emission
+    for col, assets in ((1, (0, 1)), (0, (0,))):   # S8 both legs; S7 one
+        args = tuple(
+            a[:, :, col] if a.dtype == jnp.int8
+            else a[:, :, col].astype(jnp.float32)
+            for a in (res.tj_alloc, res.tj_value, res.tj_price,
+                      res.tj_asset))
+        a1, n1, v1 = yearly_activity_from_emission(*args, n_years=years,
+                                                   assets=assets)
+        a2, n2, v2 = yearly_activity_units(*args, n_years=years,
+                                           assets=assets, interpret=True)
+        assert np.asarray(a2).dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        assert not bool(v1) and not bool(v2)
+    # Violated static-skip claim must fire through the unit path too.
+    args8 = tuple(
+        a[:, :, 1] if a.dtype == jnp.int8
+        else a[:, :, 1].astype(jnp.float32)
+        for a in (res.tj_alloc, res.tj_value, res.tj_price, res.tj_asset))
+    _, _, v = yearly_activity_units(*args8, n_years=years, assets=(0,),
+                                    interpret=True)
+    assert bool(v)
