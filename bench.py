@@ -69,7 +69,8 @@ BASELINE_PATH_DAYS_PER_SEC = 8400.0
 STAGE_BUDGETS = {
     "probe": 240.0,
     "headline": 600.0,
-    "pallas_vs_xla": 420.0,
+    "pallas_vs_xla": 700.0,   # two fresh 262k-trial kernel compiles on a
+    #                           degraded helper blew 420 s (r5 first pass)
     "full_engine": 2400.0,
     "calibrated_flagship": 2400.0,
     "exact_tax": 1500.0,

@@ -672,7 +672,17 @@ def sampled_post_tax_tables(model, fw_dev, time_horizon: int,
             jnp.argsort(fw[:n, wcol[sid]])[jnp.asarray(pos)]
             for sid in sids])                                   # [13, m]
 
+    _prog = os.environ.get("LETF_TPU_TAX_PROGRESS")
+    _t0 = _time.perf_counter()
+
+    def _tick(label):
+        if _prog:
+            print(f"[sampled-tax] {label}: "
+                  f"{_time.perf_counter() - _t0:.2f}s cumulative",
+                  file=sys.stderr, flush=True)
+
     rows = np.asarray(pick_rows(fw_dev))
+    _tick("argsort+sample rows")
     uniq = np.unique(rows)
     u_of = {int(t): i for i, t in enumerate(uniq)}
     urow = np.vectorize(u_of.get)(rows)                         # [13, m]
@@ -735,10 +745,31 @@ def sampled_post_tax_tables(model, fw_dev, time_horizon: int,
     # empty-asset runtime skip for the whole group.
     others = [s for s in sids if s != "S8"]
     tax_map = dict(zip(others, tax_group(others)))
+    _tick("bridge+netting (others)")
     if "S8" in sids:
         tax_map["S8"] = tax_group(["S8"])[0]
+        _tick("bridge+netting (S8)")
     sample_tax = jnp.asarray(np.stack([tax_map[s] for s in sids]))  # [13, m]
     rows_d = jnp.asarray(rows)
+
+    def _interp_cc(w, xp, fp):
+        """jnp.interp for a SMALL ascending table ([m] = 50 nodes):
+        compare-count segment index + one-hot table contractions —
+        jnp.interp's searchsorted lowers to binary-search gather rounds
+        over the [N] query vector, the documented-pathological TPU op
+        (CLAUDE.md; take_along_axis measured ~20x the surrounding math).
+        Matches jnp.interp on in-range queries and clamps to fp[0]/fp[-1]
+        outside, including exact-node hits (t == 0 there)."""
+        m_ = xp.shape[0]
+        idx = jnp.sum(xp[None, :] <= w[:, None], axis=1)      # [N] in 0..m
+        i0 = jnp.clip(idx - 1, 0, m_ - 1)
+        i1 = jnp.clip(idx, 0, m_ - 1)
+        oh0 = jax.nn.one_hot(i0, m_, dtype=w.dtype)           # [N, m]
+        oh1 = jax.nn.one_hot(i1, m_, dtype=w.dtype)
+        x0, f0 = oh0 @ xp, oh0 @ fp
+        x1, f1 = oh1 @ xp, oh1 @ fp
+        t = jnp.clip((w - x0) / jnp.where(x1 > x0, x1 - x0, 1.0), 0.0, 1.0)
+        return f0 + t * (f1 - f0)
 
     @functools.partial(jax.jit, static_argnames=("pcts",))
     def reduce_post(fw, rows_d, sample_tax, pcts):
@@ -751,7 +782,7 @@ def sampled_post_tax_tables(model, fw_dev, time_horizon: int,
             w = fw[:n, wcol[sid]]
             sw = w[rows_d[i]]
             o = jnp.argsort(sw)
-            tax_all = jnp.interp(w, sw[o], sample_tax[i][o])
+            tax_all = _interp_cc(w, sw[o], sample_tax[i][o])
             post = jnp.maximum(w - tax_all, 0.0)
             fans.append(jnp.percentile(post, q))
             wins.append(jnp.mean(post > spy_post))
@@ -760,6 +791,7 @@ def sampled_post_tax_tables(model, fw_dev, time_horizon: int,
 
     fans, wins, meds = (np.asarray(a) for a in reduce_post(
         fw_dev, rows_d, sample_tax, tuple(percentiles)))
+    _tick("interp+reduce")
 
     cap = float(cfg.INITIAL_CAPITAL)
     out = {}
