@@ -742,6 +742,18 @@ def main() -> None:
             elif isinstance(data, dict):
                 data.pop("_platform", None)
             record[KEYMAP[stage]] = data
+        elif KEYMAP[stage] in prior:
+            # A failed stage must not GUT the record: a later run against
+            # a degraded compile service would otherwise overwrite a good
+            # committed record with holes (observed r5: a re-run lost the
+            # first pass's full_engine block when even cached stages
+            # stalled). Carry the newest prior block with provenance.
+            carried = dict(prior[KEYMAP[stage]])
+            carried["reused_from"] = (
+                f"{prior_name} (this run's {stage} stage: "
+                f"{status.get('skipped', 'failed')})")
+            record[KEYMAP[stage]] = carried
+            status["reused_prior"] = True
         write_full_record(record)
         return data
 
